@@ -1,0 +1,164 @@
+"""CLI — the `dlt` command analog (reference: cmd/dlt/commands/).
+
+Subcommands mirror the reference's entry points (SURVEY §3):
+
+  gen    — synthesize a deterministic change log (test/bench input;
+           the reference's chain API stands outside the sandbox)
+  load   — one-shot catch-up / bounded replay
+           (cmd/dlt/commands/load.go:42-105; --from/--to/--force)
+  sync   — supervised incremental loop
+           (cmd/dlt/commands/sync.go:33-174; interval polling)
+  status — table + manifest inspection (watermark, lineage, metrics)
+  vacuum — drop data files unreferenced by the latest snapshot
+
+Run via spark-submit for cluster use:
+  spark-submit --py-files dlt_spark.zip -m ... (or set PYSPARK_PYTHON)
+or locally:  python -m dlt_spark.cli load --log ... --table ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--log", required=True, help="change-log parquet root")
+    p.add_argument("--table", required=True, help="lakehouse table root")
+    p.add_argument("--job-id", default="dlt")
+    p.add_argument("--batch-width", type=int, default=1_000_000)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--log-part-width", type=int, default=100_000)
+    p.add_argument("--arrow-udf", action="store_true",
+                   help="normalize via the pandas/Arrow UDF path")
+    p.add_argument("--master", default=None, help="spark master override")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="dlt-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a deterministic change log")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, required=True)
+    g.add_argument("--keys", type=int, default=None)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--dup-frac", type=float, default=0.05)
+    g.add_argument("--version-mix", default="0.6,0.25,0.15")
+    g.add_argument("--part-width", type=int, default=100_000)
+    g.add_argument("--master", default=None)
+
+    l = sub.add_parser("load", help="one-shot catch-up / bounded replay")
+    _add_common(l)
+    l.add_argument("--from-seq", type=int, default=None)
+    l.add_argument("--to-seq", type=int, default=None)
+    l.add_argument("--force", action="store_true",
+                   help="re-apply below the watermark (safe: idempotent)")
+    l.add_argument("--verbose", action="store_true")
+
+    s = sub.add_parser("sync", help="poll the log and apply increments")
+    _add_common(s)
+    s.add_argument("--interval-secs", type=float, default=5.0)
+    s.add_argument("--max-rounds", type=int, default=0, help="0 = forever")
+
+    st = sub.add_parser("status", help="show watermark + manifests")
+    st.add_argument("--table", required=True)
+    st.add_argument("--master", default=None)
+
+    v = sub.add_parser("vacuum", help="remove unreferenced data files")
+    v.add_argument("--table", required=True)
+    v.add_argument("--master", default=None)
+
+    args = ap.parse_args(argv)
+
+    from dlt_spark.session import get_spark
+
+    spark = get_spark(f"dlt-{args.cmd}", master=args.master)
+
+    if args.cmd == "gen":
+        from dlt_spark.sources.changelog import write_change_log
+        from dlt_spark.sources.generator import generate_change_log
+
+        mix = tuple(float(x) for x in args.version_mix.split(","))
+        df = generate_change_log(
+            spark, args.events, n_keys=args.keys, seed=args.seed,
+            dup_frac=args.dup_frac, version_mix=mix,  # type: ignore[arg-type]
+        )
+        write_change_log(df, args.out, part_width=args.part_width)
+        print(json.dumps({"generated": args.events, "path": args.out}))
+        return 0
+
+    if args.cmd == "load":
+        from dlt_spark.plans.runner import run_incremental
+
+        res = run_incremental(
+            spark, args.log, args.table, job_id=args.job_id,
+            seq_from=args.from_seq, seq_to=args.to_seq,
+            batch_width=args.batch_width, n_buckets=args.n_buckets,
+            force=args.force, use_arrow_udf=args.arrow_udf,
+            log_part_width=args.log_part_width, verbose=args.verbose,
+        )
+        print(json.dumps({
+            "job_id": res.job_id,
+            "batches_planned": res.batches_planned,
+            "batches_applied": res.batches_applied,
+            "batches_skipped": res.batches_skipped,
+            "events_read": res.events_read,
+            "events_applied": res.events_applied,
+            "deletes_applied": res.deletes_applied,
+            "wall_secs": round(res.wall_secs, 3),
+            "events_per_sec": round(res.events_per_sec, 1),
+        }))
+        return 0
+
+    if args.cmd == "sync":
+        from dlt_spark.plans.runner import run_incremental
+
+        rounds = 0
+        while True:
+            res = run_incremental(
+                spark, args.log, args.table, job_id=args.job_id,
+                batch_width=args.batch_width, n_buckets=args.n_buckets,
+                use_arrow_udf=args.arrow_udf,
+                log_part_width=args.log_part_width,
+            )
+            print(json.dumps({
+                "round": rounds,
+                "batches_applied": res.batches_applied,
+                "events_read": res.events_read,
+                "events_per_sec": round(res.events_per_sec, 1),
+            }), flush=True)
+            rounds += 1
+            if args.max_rounds and rounds >= args.max_rounds:
+                return 0
+            time.sleep(args.interval_secs)
+
+    if args.cmd == "status":
+        from dlt_spark.lakehouse import LakehouseTable
+
+        t = LakehouseTable.load(spark, args.table)
+        rows = t.read().count()
+        print(json.dumps({
+            "version": t.version,
+            "watermark": t.watermark(),
+            "n_buckets": t.n_buckets,
+            "rows": rows,
+            "batches_applied": len(t._snap["applied"]),
+            "last_manifest": (t._snap["manifests"] or [None])[-1],
+        }, indent=2))
+        return 0
+
+    if args.cmd == "vacuum":
+        from dlt_spark.lakehouse import LakehouseTable
+
+        t = LakehouseTable.load(spark, args.table)
+        print(json.dumps({"removed_files": t.vacuum()}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,104 @@
+"""Token-payload normalization — the schema-evolution point (SURVEY §2.3 E3).
+
+The reference passes payloads through opaquely (json.Marshal at
+schema/base.go:100-107) and has no evolution story: adding a field means
+editing five methods (SURVEY §1.2).  Here the change log carries a
+``payload_version`` and the normalizer folds every historical payload
+shape into one typed column:
+
+  v1 — native ``tokens array<int>`` (nothing to do)
+  v2 — comma-joined decimal string in ``payload``
+  v3 — JSON ``{"ids": [...]}`` in ``payload``
+
+Two interchangeable implementations (identical results, tested):
+
+- ``normalize_tokens_arrow`` — a scalar pandas UDF (Series→Series over
+  Arrow batches).  This is the mandated extension surface
+  (BASELINE.json: "all per-record transforms run as vectorized
+  pandas/Arrow UDFs"): new payload shapes that SQL can't express land
+  here without touching the engine.
+- ``normalize_tokens_native`` — pure Catalyst built-ins (split/cast/
+  from_json), whole-stage-codegen'd, used when every live version is
+  SQL-expressible.  ~2-5× faster; the engine defaults to it and the
+  bench reports both.
+
+``n_tok`` is always *recomputed* as ``size(tokens)`` (never trusted from
+the source) — JVM-side in both paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
+
+_V3_SCHEMA = "struct<ids: array<int>>"
+
+
+@pandas_udf(ArrayType(IntegerType()))
+def normalize_tokens_arrow(tokens, payload, version):  # type: ignore[no-untyped-def]
+    """Scalar pandas UDF: (tokens, payload, payload_version) → tokens.
+
+    Operates on whole Arrow record batches; per-batch work is numpy /
+    pandas vectorized ops plus one C-speed parse per evolved element.
+    """
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    out = pd.Series([None] * len(version), dtype=object)
+    v = version.to_numpy()
+
+    m1 = v == 1
+    if m1.any():
+        out[m1] = tokens[m1]
+
+    m2 = (v == 2) & payload.notna().to_numpy()
+    if m2.any():
+        out[m2] = payload[m2].map(
+            lambda s: np.fromstring(s, dtype=np.int32, sep=",")  # noqa: NPY201
+        )
+
+    m3 = (v == 3) & payload.notna().to_numpy()
+    if m3.any():
+        out[m3] = payload[m3].map(
+            lambda s: np.asarray(json.loads(s)["ids"], dtype=np.int32)
+        )
+    return out
+
+
+def normalize_tokens_native(
+    tokens: Column, payload: Column, version: Column
+) -> Column:
+    """Catalyst-only normalizer: identical semantics, zero Python."""
+    v2 = F.transform(F.split(payload, ","), lambda x: x.cast("int"))
+    v3 = F.from_json(payload, _V3_SCHEMA)["ids"]
+    return (
+        F.when(version == 1, tokens)
+        .when((version == 2) & payload.isNotNull(), v2)
+        .when((version == 3) & payload.isNotNull(), v3)
+    )
+
+
+def normalize_events(df: DataFrame, use_arrow_udf: bool = False) -> DataFrame:
+    """Normalize a change-event DataFrame: unified ``tokens`` column,
+    recomputed ``n_tok``, payload columns dropped.  Tombstones keep
+    null tokens/n_tok."""
+    if use_arrow_udf:
+        norm = normalize_tokens_arrow(
+            F.col("tokens"), F.col("payload"), F.col("payload_version")
+        )
+    else:
+        norm = normalize_tokens_native(
+            F.col("tokens"), F.col("payload"), F.col("payload_version")
+        )
+    return (
+        df.withColumn("tokens", F.when(F.col("op") != "D", norm))
+        .withColumn("n_tok", F.size(F.col("tokens")))
+        .withColumn(
+            "n_tok", F.when(F.col("n_tok") >= 0, F.col("n_tok"))
+        )  # size() yields -1 on null → null
+        .drop("payload", "payload_version")
+    )

@@ -1,0 +1,156 @@
+"""The incremental runner — the Spark analog of the reference's loader
+lifecycle (loader/service.go:18-105, SURVEY §3.1):
+
+  watermark resolution → batch plan by commit_seq range → per batch:
+  range scan → normalize → salted repartition → LWW dedup → MERGE →
+  manifest commit.
+
+The reference's pipeline machinery (collector goroutine, bounded
+channels, worker pools, memory governor — loader/service.go:82-97,
+utils/tools.go:16-49) does not exist here: each batch is ONE Spark
+logical plan; Catalyst/AQE choose the physical strategy, and the driver
+loop owns only batch sequencing, exactly like `dlt load`'s outer loop.
+
+Batch ids are ``lo // batch_width`` — a pure function of log position,
+so a replayed/resumed run produces the same (job_id, batch_id) keys and
+the manifest replay-guard holds across process restarts.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from dlt_spark.functions.normalize import normalize_events
+from dlt_spark.lakehouse import LakehouseTable
+from dlt_spark.operators.dedup import dedup_lww
+from dlt_spark.operators.salt import salted_repartition
+from dlt_spark.sources.changelog import read_change_log_range
+
+
+@dataclass
+class RunResult:
+    job_id: str
+    batches_planned: int
+    batches_applied: int
+    batches_skipped: int  # already in manifest (replay no-ops)
+    events_read: int
+    events_applied: int
+    deletes_applied: int
+    wall_secs: float
+    manifests: list[dict] = field(default_factory=list)
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.events_read / self.wall_secs if self.wall_secs > 0 else 0.0
+
+
+def plan_batches(seq_from: int, seq_to: int, batch_width: int) -> list[tuple[int, int, int]]:
+    """[(batch_id, lo, hi_inclusive)] — aligned to batch_width boundaries
+    so equal commit_seq values always land in the same batch (ties must
+    be resolved by one LWW pass, SURVEY §7 hard-part #2) and replays
+    regenerate identical batch ids."""
+    out = []
+    lo = (seq_from // batch_width) * batch_width
+    while lo <= seq_to:
+        hi = lo + batch_width - 1
+        out.append((lo // batch_width, max(lo, seq_from), min(hi, seq_to)))
+        lo = hi + 1
+    return out
+
+
+def run_incremental(
+    spark: SparkSession,
+    log_path: str,
+    table_path: str,
+    job_id: str = "dlt",
+    seq_from: int | None = None,
+    seq_to: int | None = None,
+    batch_width: int = 1_000_000,
+    n_buckets: int = 64,
+    force: bool = False,
+    use_arrow_udf: bool = False,
+    salt_partitions: int | None = None,
+    log_part_width: int = 100_000,
+    fail_after_batches: int | None = None,
+    verbose: bool = False,
+) -> RunResult:
+    """One catch-up run (the `dlt load` analog, SURVEY §3.1/§3.3).
+
+    - ``seq_from``/``seq_to`` bound the replay (``--from/--to-bundle-id``);
+      unset ``seq_from`` resumes from the manifest watermark + 1 (P2).
+    - ``force=True`` re-applies a range even below the watermark — safe
+      here (idempotent MERGE + manifest guard), unlike the reference
+      where --force duplicates rows (loader/service.go:30-36).
+    - ``fail_after_batches`` injects a crash between batch commits for
+      the resume test (SURVEY §5).
+    """
+    table = LakehouseTable.create(spark, table_path, n_buckets=n_buckets)
+
+    if seq_from is None:
+        seq_from = table.watermark() + 1 if not force else 0
+    if seq_to is None:
+        # End of log: one metadata-cheap max() over the pruned tail.
+        from pyspark.sql import functions as F
+
+        tail = spark.read.parquet(log_path)
+        if not force:
+            tail = tail.where(F.col("commit_seq") >= seq_from)
+        row = tail.agg(F.max("commit_seq").alias("m")).collect()[0]
+        if row["m"] is None:
+            return RunResult(job_id, 0, 0, 0, 0, 0, 0, 0.0)
+        seq_to = int(row["m"])
+    if seq_from > seq_to:
+        return RunResult(job_id, 0, 0, 0, 0, 0, 0, 0.0)
+
+    batches = plan_batches(seq_from, seq_to, batch_width)
+    t0 = time.monotonic()
+    applied = skipped = ev_read = ev_applied = dels = 0
+    manifests: list[dict] = []
+
+    for i, (batch_id, lo, hi) in enumerate(batches):
+        if fail_after_batches is not None and i >= fail_after_batches:
+            raise RuntimeError(f"injected crash before batch {batch_id}")
+        if table.is_applied(job_id, batch_id) and not force:
+            skipped += 1
+            continue
+
+        events = read_change_log_range(spark, log_path, lo, hi, log_part_width)
+        normalized = normalize_events(events, use_arrow_udf=use_arrow_udf)
+        spread = salted_repartition(normalized, num_partitions=salt_partitions)
+        updates = dedup_lww(spread, with_counts=True)
+
+        m = table.merge(
+            updates,
+            job_id=job_id,
+            batch_id=batch_id,
+            seq_from=lo,
+            seq_to=hi,
+            force=force,
+        )
+        manifests.append(m)
+        applied += 1
+        ev_read += m["events_read"]
+        ev_applied += m["events_applied"]
+        dels += m["deletes_applied"]
+        if verbose:
+            print(
+                f"[{job_id}] batch {batch_id} seq[{lo},{hi}] "
+                f"read={m['events_read']} applied={m['events_applied']} "
+                f"snapshot=v{m['snapshot_version']}"
+            )
+
+    wall = time.monotonic() - t0
+    return RunResult(
+        job_id,
+        len(batches),
+        applied,
+        skipped,
+        ev_read,
+        ev_applied,
+        dels,
+        wall,
+        manifests,
+    )
