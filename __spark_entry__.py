@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes one entry per implemented operator family from
+SURVEY.md §2 (CDC core: scans, range filters, watermark, lineage,
+LWW dedup, MERGE final state, replay guard, deterministic ids, payload
+normalization, explode-with-provenance, skew profile) plus the
+training-data pipeline ops (exact/MinHash/SimHash/Jaccard dedup,
+cosine top-k similarity, language-ID, quality scoring, token counting,
+fingerprinting).  Implementations live in dlt_spark/entry_queries.py;
+oracle_sql() returns the DuckDB-equivalent SQL for every query.
 """
 
 from __future__ import annotations
@@ -15,24 +18,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC engine run (LWW dedup → MERGE → read back)
+    on the sf0.001 orders-derived change log."""
+    from dlt_spark.entry_queries import q_cdc_merge_final_state
+
+    return q_cdc_merge_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dlt_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dlt_spark.entry_queries import oracles
+
+    return oracles()

@@ -1,0 +1,691 @@
+"""Driver-contract queries + DuckDB oracles (SURVEY §2 coverage).
+
+Each entry exercises one operator family from SURVEY.md §2 on the
+driver's deterministic parquet tables, with an equivalent DuckDB SQL
+oracle.  The CDC queries derive a change log from ``orders`` via pure
+arithmetic (identical semantics in both engines):
+
+    commit_seq = o_orderkey                  (unique, monotone)
+    doc_id     = 'doc_' || lpad(o_custkey % 300, 4, '0')   (hot keys)
+    op         = seq%10==9 → D, >=6 → U, else I
+    n_tok      = seq % 97 + 8
+    tokens[i]  = (seq * (i+7)) % 1000
+    source     = o_orderpriority
+
+Cross-engine primitives verified bit-identical: md5/sha256 hex, the
+60-bit hash  spark ``conv(substr(md5(s),1,15),16,10)``  ==  duckdb
+``('0x'||substr(md5(s),1,15))::BIGINT``, and double math folded in a
+fixed order.  Arrays are compared stringified; all ints cast to BIGINT;
+doubles rounded — the driver hashes values column-name-sorted.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (sp=Spark SQL, dk=DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+_EVENTS_SP = """
+SELECT o_orderkey AS commit_seq,
+       'doc_' || lpad(cast(o_custkey % 300 AS string), 4, '0') AS doc_id,
+       CASE WHEN o_orderkey % 10 = 9 THEN 'D'
+            WHEN o_orderkey % 10 >= 6 THEN 'U' ELSE 'I' END AS op,
+       cast(o_orderkey % 97 + 8 AS bigint) AS n_tok,
+       o_orderpriority AS source,
+       transform(sequence(0, cast(o_orderkey % 97 + 7 AS int)),
+                 i -> (o_orderkey * (i + 7)) % 1000) AS tokens
+FROM orders
+"""
+
+_EVENTS_DK = """
+SELECT o_orderkey AS commit_seq,
+       'doc_' || lpad(cast(o_custkey % 300 AS varchar), 4, '0') AS doc_id,
+       CASE WHEN o_orderkey % 10 = 9 THEN 'D'
+            WHEN o_orderkey % 10 >= 6 THEN 'U' ELSE 'I' END AS op,
+       cast(o_orderkey % 97 + 8 AS bigint) AS n_tok,
+       o_orderpriority AS source,
+       list_transform(range(o_orderkey % 97 + 8),
+                      i -> (o_orderkey * (i + 7)) % 1000) AS tokens
+FROM orders
+"""
+
+# word-length token arrays from documents (the token-payload analog)
+_DOCTOKS_SP = """
+SELECT doc_id, text,
+       transform(split(text, ' '), w -> cast(length(w) AS int)) AS toks
+FROM documents
+"""
+_DOCTOKS_DK = """
+SELECT doc_id, text,
+       list_transform(string_split(text, ' '), w -> cast(length(w) AS int)) AS toks
+FROM documents
+"""
+
+_HASH60_SP = "cast(conv(substr(md5({x}), 1, 15), 16, 10) AS bigint)"
+_HASH60_DK = "cast(('0x' || substr(md5({x}), 1, 15)) AS bigint)"
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# CDC queries (SURVEY §2.1/2.2/2.4/2.5)
+# ---------------------------------------------------------------------------
+
+def q_cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+M3: LWW dedup via the engine's dedup_lww operator, tombstones
+    dropped → final visible state."""
+    from dlt_spark.operators.dedup import dedup_lww
+
+    _views(spark, sf_dir, "orders")
+    events = spark.sql(_EVENTS_SP)
+    final = dedup_lww(events).where(F.col("op") != "D")
+    return final.select(
+        "doc_id",
+        F.col("commit_seq").alias("last_seq"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.array_join(F.col("tokens").cast("array<string>"), ",").alias("tokens_str"),
+    )
+
+
+_SQL_LWW_FINAL = f"""
+WITH events AS ({{events}}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY commit_seq DESC) AS rn
+  FROM events)
+SELECT doc_id, commit_seq AS last_seq, n_tok, source,
+       {{arr2str}} AS tokens_str
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M4: the full engine path — write the derived log, run
+    incremental batches through LWW+MERGE into a temp lakehouse table,
+    read back the final state.  Must equal the one-shot LWW fold."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+
+    _views(spark, sf_dir, "orders")
+    events = spark.sql(_EVENTS_SP).select(
+        "commit_seq",
+        "doc_id",
+        "op",
+        F.col("tokens").cast("array<int>").alias("tokens"),
+        F.lit(None).cast("string").alias("payload"),
+        F.lit(1).alias("payload_version"),
+        "source",
+        F.current_timestamp().alias("extracted_at"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dlt_entry_")
+    log_path = os.path.join(tmp, "log")
+    tbl_path = os.path.join(tmp, "tbl")
+    write_change_log(events, log_path, part_width=5_000)
+    run_incremental(
+        spark, log_path, tbl_path, batch_width=5_000, n_buckets=16,
+        log_part_width=5_000,
+    )
+    t = LakehouseTable.load(spark, tbl_path)
+    return t.read().select(
+        "doc_id",
+        F.col("_commit_seq").alias("last_seq"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.array_join(F.col("tokens").cast("array<string>"), ",").alias("tokens_str"),
+    )
+
+
+def q_cdc_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/P2: resume-point aggregation over the log."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        f"SELECT max(commit_seq) AS watermark, count(*) AS n_events FROM ({_EVENTS_SP})"
+    )
+
+
+def q_cdc_batch_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/L2: per-batch lineage (min/max seq + key range + count)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT cast(floor(commit_seq / 1000) AS bigint) AS batch_id,
+               min(commit_seq) AS seq_from, max(commit_seq) AS seq_to,
+               count(*) AS n_events,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM ({_EVENTS_SP}) GROUP BY 1
+    """)
+
+
+def q_cdc_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: commit_seq range predicate + per-op counts."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT op, count(*) AS n FROM ({_EVENTS_SP})
+        WHERE commit_seq BETWEEN 3000 AND 7999 GROUP BY op
+    """)
+
+
+def q_cdc_replay_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: left-anti join of planned batches vs applied manifest."""
+    _views(spark, sf_dir, "orders")
+    batches = spark.sql(
+        f"SELECT DISTINCT cast(floor(commit_seq/1000) AS bigint) AS batch_id FROM ({_EVENTS_SP})"
+    )
+    applied = batches.where(F.col("batch_id") < 5)
+    return batches.join(applied, "batch_id", "left_anti").select("batch_id")
+
+
+def q_cdc_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 metrics: op distribution of the post-LWW update set."""
+    from dlt_spark.operators.dedup import dedup_lww
+
+    _views(spark, sf_dir, "orders")
+    return (
+        dedup_lww(spark.sql(_EVENTS_SP))
+        .groupBy("op")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_cdc_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: deterministic surrogate row ids (sha256 of identity)."""
+    from dlt_spark.functions.ids import deterministic_row_id
+
+    _views(spark, sf_dir, "orders")
+    ev = spark.sql(_EVENTS_SP).where(F.col("commit_seq") < 100)
+    return ev.select(
+        "doc_id",
+        "commit_seq",
+        deterministic_row_id(F.col("doc_id"), F.col("commit_seq")).alias("row_id"),
+    )
+
+
+def q_cdc_normalize_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: payload schema evolution — round-trip v1 array / v2 CSV
+    string / v3 JSON through the engine normalizer."""
+    from dlt_spark.functions.normalize import normalize_events
+
+    _views(spark, sf_dir, "documents")
+    base = spark.sql(_DOCTOKS_SP).select(
+        F.col("doc_id").alias("commit_seq"),
+        F.col("doc_id").cast("string").alias("doc_id_s"),
+        (F.col("doc_id") % 3 + 1).cast("int").alias("payload_version"),
+        F.col("toks").cast("array<int>").alias("raw_toks"),
+    )
+    ev = base.select(
+        "commit_seq",
+        F.col("doc_id_s").alias("doc_id"),
+        F.lit("I").alias("op"),
+        F.when(F.col("payload_version") == 1, F.col("raw_toks")).alias("tokens"),
+        F.when(
+            F.col("payload_version") == 2,
+            F.array_join(F.col("raw_toks").cast("array<string>"), ","),
+        )
+        .when(
+            F.col("payload_version") == 3,
+            F.to_json(F.struct(F.col("raw_toks").alias("ids"))),
+        )
+        .alias("payload"),
+        "payload_version",
+    )
+    out = normalize_events(ev)
+    return out.select(
+        F.col("commit_seq").alias("doc_id"),
+        F.array_join(F.col("tokens").cast("array<string>"), ",").alias("tokens_str"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+    )
+
+
+def q_cdc_explode_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: explode with positional provenance (posexplode ==
+    the reference's array_index, schema/tendermint_preprocessed.go:156-208)."""
+    _views(spark, sf_dir, "documents")
+    toks = spark.sql(_DOCTOKS_SP).where(F.col("doc_id") < 50)
+    return toks.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("array_index", "token")
+    ).select(
+        "doc_id",
+        F.col("array_index").cast("bigint").alias("array_index"),
+        F.col("token").cast("bigint").alias("token"),
+    )
+
+
+def q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 diagnostics: hottest keys by event count (skew profile)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT doc_id, count(*) AS n FROM ({_EVENTS_SP})
+        GROUP BY doc_id ORDER BY n DESC, doc_id LIMIT 10
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text)."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql("""
+        SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper
+        FROM documents GROUP BY 1
+    """)
+
+
+def q_docs_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over 3-word shingles (4 hash families)."""
+    _views(spark, sf_dir, "documents")
+    mh_terms = ", ".join(
+        "array_min(transform(shingles, s -> {h})) AS mh{k}".format(
+            h=_HASH60_SP.format(x=f"concat('{k}|', s)"), k=k
+        )
+        for k in range(4)
+    )
+    return spark.sql(f"""
+        WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 transform(sequence(0, size(ws) - 3),
+                           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) AS shingles
+          FROM w WHERE size(ws) >= 3)
+        SELECT doc_id, {mh_terms}
+        FROM sh
+    """)
+
+
+def q_docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 2 bands × 2 rows, band-hash join."""
+    sig = q_docs_minhash_sig(spark, sf_dir)
+    sig.createOrReplaceTempView("mh_sig")
+    return spark.sql("""
+        WITH bands AS (
+          SELECT doc_id, md5(concat_ws(',', cast(mh0 AS string), cast(mh1 AS string))) AS b
+          FROM mh_sig
+          UNION ALL
+          SELECT doc_id, md5(concat_ws(',', cast(mh2 AS string), cast(mh3 AS string))) AS b
+          FROM mh_sig)
+        SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id
+        FROM bands a JOIN bands c ON a.b = c.b AND a.doc_id < c.doc_id
+    """)
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over word hashes (majority vote per bit)."""
+    _views(spark, sf_dir, "documents")
+    h = _HASH60_SP.format(x="w")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN cast(floor(h16 / {1 << b}) AS bigint) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    bit_or = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return spark.sql(f"""
+        WITH words AS (
+          SELECT doc_id, explode(split(text, ' ')) AS w FROM documents),
+        hashed AS (SELECT doc_id, {h} % 65536 AS h16 FROM words),
+        bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, cast({bit_or} AS bigint) AS simhash FROM bits
+    """)
+
+
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-set Jaccard >= 0.5 (docs < 60)."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql("""
+        WITH w AS (
+          SELECT DISTINCT doc_id, explode(split(text, ' ')) AS word
+          FROM documents WHERE doc_id < 60),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT a_id, b_id,
+               round(cast(i AS double) / cast(sa.sz + sb.sz - i AS double), 5) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.5
+    """)
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors 0-4.
+    Double-precision left-to-right fold on both engines → bit-stable."""
+    _views(spark, sf_dir, "embeddings")
+    return spark.sql("""
+        WITH e AS (
+          SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS emb
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, emb,
+                 sqrt(aggregate(emb, cast(0.0 AS double), (a, x) -> a + x * x)) AS nrm
+          FROM e),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 aggregate(zip_with(q.emb, c.emb, (x, y) -> x * y),
+                           cast(0.0 AS double), (a, x) -> a + x) / (q.nrm * c.nrm) AS sim
+          FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id >= 5),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM pairs)
+        SELECT query_id, neighbor_id, cast(rnk AS bigint) AS rnk,
+               round(sim, 5) AS sim_r
+        FROM ranked WHERE rnk <= 5
+    """)
+
+
+def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding count + mean L2 norm."""
+    _views(spark, sf_dir, "embeddings")
+    return spark.sql("""
+        SELECT cast(label AS bigint) AS label, count(*) AS n,
+               round(avg(sqrt(aggregate(transform(embedding, x -> cast(x AS double)),
+                                        cast(0.0 AS double), (a, x) -> a + x * x))), 5) AS avg_norm
+        FROM embeddings GROUP BY label
+    """)
+
+
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: vowel-ratio bands over letters."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql("""
+        WITH s AS (
+          SELECT doc_id,
+                 length(regexp_replace(text, '[^aeiou]', '')) AS v,
+                 length(regexp_replace(text, '[^a-z]', '')) AS l
+          FROM documents)
+        SELECT doc_id, round(cast(v AS double) / cast(l AS double), 4) AS vowel_ratio,
+               CASE WHEN cast(v AS double) / cast(l AS double) >= 0.40 THEN 'vowel-heavy'
+                    WHEN cast(v AS double) / cast(l AS double) >= 0.30 THEN 'en-like'
+                    ELSE 'consonantal' END AS pred_lang
+        FROM s WHERE l > 0
+    """)
+
+
+def q_docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-ratio / word-length features."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql("""
+        WITH f AS (
+          SELECT doc_id,
+                 size(split(text, ' ')) AS n_words,
+                 size(filter(split(text, ' '),
+                             w -> w IN ('the', 'and', 'of', 'a', 'to', 'in'))) AS n_stop,
+                 length(replace(text, ' ', '')) AS n_lchars
+          FROM documents)
+        SELECT doc_id, cast(n_words AS bigint) AS n_words,
+               round(cast(n_stop AS double) / n_words, 5) AS stop_ratio,
+               round(1.0 / (1.0 + exp(-(0.01 * n_words
+                                        + 2.0 * cast(n_stop AS double) / n_words
+                                        - 0.1 * abs(cast(n_lchars AS double) / n_words - 5.0)))),
+                     5) AS score
+        FROM f WHERE n_words > 0
+    """)
+
+
+def q_docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split vs alnum-run regex tokenizer."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql("""
+        SELECT doc_id,
+               cast(size(split(text, ' ')) AS bigint) AS n_ws,
+               cast(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS bigint) AS n_re,
+               cast(length(regexp_replace(text, '[^a-z0-9]', '')) AS bigint) AS n_alnum
+        FROM documents
+    """)
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text md5 + head-shingle md5."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql("""
+        SELECT doc_id, md5(text) AS fp_full,
+               md5(array_join(slice(split(text, ' '), 1, 5), ' ')) AS fp_head
+        FROM documents
+    """)
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_lww_final_state": q_cdc_lww_final_state,
+    "cdc_merge_final_state": q_cdc_merge_final_state,
+    "cdc_watermark": q_cdc_watermark,
+    "cdc_batch_lineage": q_cdc_batch_lineage,
+    "cdc_range_scan": q_cdc_range_scan,
+    "cdc_replay_guard": q_cdc_replay_guard,
+    "cdc_dedup_counts": q_cdc_dedup_counts,
+    "cdc_row_ids": q_cdc_row_ids,
+    "cdc_normalize_versions": q_cdc_normalize_versions,
+    "cdc_explode_provenance": q_cdc_explode_provenance,
+    "cdc_hot_keys": q_cdc_hot_keys,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_minhash_sig": q_docs_minhash_sig,
+    "docs_minhash_lsh_pairs": q_docs_minhash_lsh_pairs,
+    "docs_simhash": q_docs_simhash,
+    "docs_ngram_jaccard": q_docs_ngram_jaccard,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_norm_stats": q_emb_norm_stats,
+    "docs_lang_id": q_docs_lang_id,
+    "docs_quality_score": q_docs_quality_score,
+    "docs_token_count": q_docs_token_count,
+    "docs_fingerprint": q_docs_fingerprint,
+}
+
+
+def _dk_hash60(x: str) -> str:
+    return _HASH60_DK.format(x=x)
+
+
+_DK_ARR2STR = "array_to_string(tokens, ',')"
+
+_ORACLES: dict[str, str] = {}
+
+_ORACLES["cdc_lww_final_state"] = _SQL_LWW_FINAL.format(
+    events=_EVENTS_DK, arr2str=_DK_ARR2STR
+)
+_ORACLES["cdc_merge_final_state"] = _ORACLES["cdc_lww_final_state"]
+
+_ORACLES["cdc_watermark"] = (
+    f"SELECT max(commit_seq) AS watermark, count(*) AS n_events FROM ({_EVENTS_DK})"
+)
+
+_ORACLES["cdc_batch_lineage"] = f"""
+SELECT cast(floor(commit_seq / 1000) AS bigint) AS batch_id,
+       min(commit_seq) AS seq_from, max(commit_seq) AS seq_to,
+       count(*) AS n_events, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM ({_EVENTS_DK}) GROUP BY 1
+"""
+
+_ORACLES["cdc_range_scan"] = f"""
+SELECT op, count(*) AS n FROM ({_EVENTS_DK})
+WHERE commit_seq BETWEEN 3000 AND 7999 GROUP BY op
+"""
+
+_ORACLES["cdc_replay_guard"] = f"""
+WITH batches AS (
+  SELECT DISTINCT cast(floor(commit_seq/1000) AS bigint) AS batch_id FROM ({_EVENTS_DK}))
+SELECT batch_id FROM batches WHERE batch_id >= 5
+"""
+
+_ORACLES["cdc_dedup_counts"] = f"""
+WITH ranked AS (
+  SELECT op, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY commit_seq DESC) AS rn
+  FROM ({_EVENTS_DK}))
+SELECT op, count(*) AS n FROM ranked WHERE rn = 1 GROUP BY op
+"""
+
+_ORACLES["cdc_row_ids"] = f"""
+SELECT doc_id, commit_seq,
+       sha256(doc_id || '|' || cast(commit_seq AS varchar)) AS row_id
+FROM ({_EVENTS_DK}) WHERE commit_seq < 100
+"""
+
+_ORACLES["cdc_normalize_versions"] = f"""
+SELECT doc_id, array_to_string(toks, ',') AS tokens_str,
+       cast(len(toks) AS bigint) AS n_tok
+FROM ({_DOCTOKS_DK})
+"""
+
+_ORACLES["cdc_explode_provenance"] = f"""
+WITH t AS (SELECT doc_id, toks FROM ({_DOCTOKS_DK}) WHERE doc_id < 50)
+SELECT doc_id, cast(i - 1 AS bigint) AS array_index,
+       cast(toks[i] AS bigint) AS token
+FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+"""
+
+_ORACLES["cdc_hot_keys"] = f"""
+SELECT doc_id, count(*) AS n FROM ({_EVENTS_DK})
+GROUP BY doc_id ORDER BY n DESC, doc_id LIMIT 10
+"""
+
+_ORACLES["docs_exact_dedup"] = """
+SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper
+FROM documents GROUP BY 1
+"""
+
+_mh_terms = ", ".join(
+    "list_min(list_transform(shingles, s -> {h})) AS mh{k}".format(
+        h=_dk_hash60(f"'{k}|' || s"), k=k
+    )
+    for k in range(4)
+)
+_ORACLES["docs_minhash_sig"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(len(ws) - 2),
+                        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS shingles
+  FROM w WHERE len(ws) >= 3)
+SELECT doc_id, {_mh_terms} FROM sh
+"""
+
+_ORACLES["docs_minhash_lsh_pairs"] = f"""
+WITH sig AS ({_ORACLES["docs_minhash_sig"]}),
+bands AS (
+  SELECT doc_id, md5(cast(mh0 AS varchar) || ',' || cast(mh1 AS varchar)) AS b FROM sig
+  UNION ALL
+  SELECT doc_id, md5(cast(mh2 AS varchar) || ',' || cast(mh3 AS varchar)) AS b FROM sig)
+SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id
+FROM bands a JOIN bands c ON a.b = c.b AND a.doc_id < c.doc_id
+"""
+
+_dk_bit_sums = ", ".join(
+    f"sum(CASE WHEN cast(floor(h16 / {1 << b}) AS bigint) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(16)
+)
+_dk_bit_or = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+_ORACLES["docs_simhash"] = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hashed AS (SELECT doc_id, {_dk_hash60('w')} % 65536 AS h16 FROM words),
+bits AS (SELECT doc_id, {_dk_bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, cast({_dk_bit_or} AS bigint) AS simhash FROM bits
+"""
+
+_ORACLES["docs_ngram_jaccard"] = """
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id < 60),
+sizes AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id,
+       round(cast(i AS double) / cast(sa.sz + sb.sz - i AS double), 5) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.5
+"""
+
+_ORACLES["emb_cosine_topk"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS emb
+  FROM embeddings),
+n AS (
+  SELECT vec_id, emb,
+         sqrt(list_reduce(list_transform(emb, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM e),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(q.emb) + 1),
+                                    i -> q.emb[i] * c.emb[i]),
+                     (a, b) -> a + b) / (q.nrm * c.nrm) AS sim
+  FROM n q, n c WHERE q.vec_id < 5 AND c.vec_id >= 5),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs)
+SELECT query_id, neighbor_id, cast(rnk AS bigint) AS rnk, round(sim, 5) AS sim_r
+FROM ranked WHERE rnk <= 5
+"""
+
+_ORACLES["emb_norm_stats"] = """
+SELECT cast(label AS bigint) AS label, count(*) AS n,
+       round(avg(sqrt(list_reduce(list_transform(embedding, x -> cast(x AS double) * x),
+                                  (a, b) -> a + b))), 5) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+_ORACLES["docs_lang_id"] = """
+WITH s AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^aeiou]', '', 'g')) AS v,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) AS l
+  FROM documents)
+SELECT doc_id, round(cast(v AS double) / cast(l AS double), 4) AS vowel_ratio,
+       CASE WHEN cast(v AS double) / cast(l AS double) >= 0.40 THEN 'vowel-heavy'
+            WHEN cast(v AS double) / cast(l AS double) >= 0.30 THEN 'en-like'
+            ELSE 'consonantal' END AS pred_lang
+FROM s WHERE l > 0
+"""
+
+_ORACLES["docs_quality_score"] = """
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the', 'and', 'of', 'a', 'to', 'in'))) AS n_stop,
+         length(replace(text, ' ', '')) AS n_lchars
+  FROM documents)
+SELECT doc_id, cast(n_words AS bigint) AS n_words,
+       round(cast(n_stop AS double) / n_words, 5) AS stop_ratio,
+       round(1.0 / (1.0 + exp(-(0.01 * n_words
+                                + 2.0 * cast(n_stop AS double) / n_words
+                                - 0.1 * abs(cast(n_lchars AS double) / n_words - 5.0)))),
+             5) AS score
+FROM f WHERE n_words > 0
+"""
+
+_ORACLES["docs_token_count"] = """
+SELECT doc_id,
+       cast(len(string_split(text, ' ')) AS bigint) AS n_ws,
+       cast(len(regexp_extract_all(text, '[a-z0-9]+')) AS bigint) AS n_re,
+       cast(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS bigint) AS n_alnum
+FROM documents
+"""
+
+_ORACLES["docs_fingerprint"] = """
+SELECT doc_id, md5(text) AS fp_full,
+       md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp_head
+FROM documents
+"""
+
+
+def oracles() -> dict[str, str]:
+    return dict(_ORACLES)
