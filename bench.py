@@ -1,0 +1,116 @@
+"""Benchmark harness (driver contract).
+
+Measures the headline metric from BASELINE.json — CDC change-events/sec
+applied, replay-to-convergence — on a deterministic synthetic change log
+(seed 42, Zipf-skewed keys, I/U/D mix, duplicate delivery, mixed payload
+versions), plus wall-times for representative entry queries at
+$SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_to_convergence", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "events": N, "events_per_sec": ...}
+
+Generation time is input preparation and excluded from the measurement;
+the timed section is watermark resolution → batched read→normalize→
+salt→LWW→MERGE→manifest commit, end to end, to convergence.
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+bench/scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_of(sf_dir)
+    n_events = int(os.environ.get("BENCH_EVENTS", str(int(15_000_000 * sf))))
+    batch_count = int(os.environ.get("BENCH_BATCHES", "8"))
+    use_arrow = os.environ.get("BENCH_ARROW_UDF", "0") == "1"
+
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.session import get_spark
+    from dlt_spark.sources.changelog import write_change_log
+    from dlt_spark.sources.generator import generate_change_log
+
+    spark = get_spark("dlt-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="dlt_bench_", dir=base)
+    log_path = os.path.join(work, "log")
+    tbl_path = os.path.join(work, "tbl")
+    part_width = max(10_000, n_events // 32)
+    batch_width = max(1, n_events // batch_count)
+
+    # --- input prep (not timed) ---
+    events = generate_change_log(
+        spark, n_events, seed=42, dup_frac=0.05, version_mix=(0.6, 0.25, 0.15)
+    )
+    write_change_log(events, log_path, part_width=part_width)
+
+    # --- timed: full replay to convergence ---
+    t0 = time.monotonic()
+    res = run_incremental(
+        spark,
+        log_path,
+        tbl_path,
+        batch_width=batch_width,
+        n_buckets=64,
+        log_part_width=part_width,
+        use_arrow_udf=use_arrow,
+    )
+    cdc_secs = time.monotonic() - t0
+
+    # --- headline queries at the SF dir ---
+    from dlt_spark.entry_queries import QUERIES
+
+    q_times: dict[str, float] = {"cdc_replay": round(cdc_secs, 3)}
+    for name in (
+        "cdc_lww_final_state",
+        "cdc_batch_lineage",
+        "cdc_normalize_versions",
+        "docs_minhash_sig",
+        "docs_simhash",
+        "emb_cosine_topk",
+        "docs_token_count",
+    ):
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        q_times[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "cdc_replay_to_convergence",
+        "value": round(cdc_secs, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "events": res.events_read,
+        "events_per_sec": round(res.events_read / cdc_secs, 1),
+        "batches": res.batches_applied,
+        "cpus": cpus,
+        "arrow_udf": use_arrow,
+    }
+    print(json.dumps(out))
+    shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

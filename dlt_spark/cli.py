@@ -33,6 +33,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log-part-width", type=int, default=100_000)
     p.add_argument("--arrow-udf", action="store_true",
                    help="normalize via the pandas/Arrow UDF path")
+    p.add_argument("--max-inflight", type=int, default=3,
+                   help="concurrent batch preparations (commits stay ordered)")
     p.add_argument("--master", default=None, help="spark master override")
 
 
@@ -99,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
             batch_width=args.batch_width, n_buckets=args.n_buckets,
             force=args.force, use_arrow_udf=args.arrow_udf,
             log_part_width=args.log_part_width, verbose=args.verbose,
+            max_inflight=args.max_inflight,
         )
         print(json.dumps({
             "job_id": res.job_id,

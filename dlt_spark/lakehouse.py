@@ -1,37 +1,49 @@
-"""A minimal copy-on-write bucketed-Parquet table format with atomic
+"""A minimal merge-on-read bucketed-Parquet table format with atomic
 snapshot commits and idempotent commit manifests.
 
-Why this exists: the design target is Iceberg v2 MERGE (SURVEY §2.5 M1),
-but no Iceberg runtime jar ships in this sandbox and there is no network,
-so the engine implements the three Iceberg properties the CDC semantics
-actually rely on, on plain Parquet:
+Why this exists: the design target is Iceberg v2 MoR MERGE (SURVEY §2.5
+M1), but no Iceberg runtime jar ships in this sandbox and there is no
+network, so the engine implements the Iceberg properties the CDC
+semantics rely on, on plain Parquet:
 
 1. **Atomic snapshot commits** — a commit is the creation of
    ``_snapshots/v<N>.json`` via hard-link-from-temp (create-exclusive →
    atomic AND conflict-detecting on POSIX).  Readers resolve the highest
    version; a crash mid-write leaves only orphan data files, never a
    half-visible table.  (Iceberg: metadata.json swap.)
-2. **Key-bucketed layout + bucket-pruned MERGE** — rows live in
-   ``n_buckets`` hash(doc_id) buckets; a MERGE rewrites only the buckets
-   its update keys touch, and scans only those buckets' files.  At 100 TB
-   with 10^4 buckets a batch touching 1% of keys reads/writes ~1% of the
-   table.  (Iceberg: ``PARTITIONED BY (bucket(N, doc_id))`` + partition
-   pruning; SURVEY §4.2 destination layout.)
-3. **Idempotent commit manifests** — each snapshot carries the set of
+2. **Merge-on-read ingest** — a MERGE batch writes ONLY its deduped
+   update set as per-bucket *delta* files: O(batch) work, independent of
+   table size.  The read path resolves last-writer-wins per key across
+   base+delta rows (max (_commit_seq, tombstone-rank, _row_id)); stale
+   rows from forced replays simply lose the resolve — no row-level
+   guard join needed.  (Iceberg v2: equality deletes + MoR scan.)
+   This replaces an earlier copy-on-write design whose per-batch cost
+   was O(table) once updates touched every bucket — at the 10^10-event
+   design point each ingest batch would have rewritten ~100 TB.
+3. **Amortized compaction** — when a bucket accumulates ``max_deltas``
+   delta files, the merge folds base+deltas into a new resolved base
+   for just that bucket (copy-on-write at 1/max_deltas frequency), so
+   read amplification stays bounded.  (Iceberg: rewrite_data_files.)
+4. **Idempotent commit manifests** — each snapshot carries the set of
    applied ``(job_id, batch_id)`` plus per-batch lineage/metrics rows
    (SURVEY §2.5 M4).  Replaying an applied batch is a no-op; this closes
    the reference's at-least-once hole (destinations/postgres.go:105-118
    retries re-insert committed chunks; big_query.go:256 WriteAppend
    duplicates on replay).
+5. **Tombstone retention** — deletes persist as ``_deleted`` rows (the
+   resolve needs the delete's _commit_seq to reject stale re-inserts
+   from forced replays of older ranges); reads filter them;
+   ``purge_tombstones(horizon)`` reclaims below a replay horizon.
 
-The per-row guard ``u.commit_seq >= t._commit_seq`` inside the merge is
-defense-in-depth: even a forced replay of an old range converges.
+Hash-bucketing on doc_id (``n_buckets`` fixed per table) is the analog
+of Iceberg ``PARTITIONED BY (bucket(N, doc_id))``: bucket-local
+compaction and bucket-pruned point reads (SURVEY §4.2).
 
-Scale notes: the snapshot JSON holds file lists + manifest rows — at the
+Scale notes: snapshot JSON holds file lists + manifest rows — at the
 10^10-event design point with 10^7-wide batches that is ~10^3 manifest
-rows and (n_buckets × a few) file entries; both stay far below metadata
-limits.  File counts per bucket stay O(1) because MERGE rewrites a
-bucket wholesale (compaction is built into the write path).
+rows and O(n_buckets × max_deltas) file entries; both stay far below
+metadata limits.  The resolve shuffle on read is the MoR tax; compaction
+bounds it to ≤ max_deltas delta files per bucket.
 """
 
 from __future__ import annotations
@@ -42,9 +54,10 @@ import tempfile
 import uuid
 from datetime import datetime, timezone
 
+from pyspark import StorageLevel  # noqa: F401  (re-export for callers)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark import StorageLevel
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from dlt_spark.schemas import MANIFEST_SCHEMA, TARGET_SCHEMA
 
@@ -56,8 +69,15 @@ def _bucket_col(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _read_schema(extra_n_events: bool = False) -> StructType:
+    fields = list(TARGET_SCHEMA.fields)
+    if extra_n_events:
+        fields.append(StructField("_n_events", LongType(), True))
+    return StructType(fields)
+
+
 class LakehouseTable:
-    """Handle to one copy-on-write table rooted at ``path``."""
+    """Handle to one merge-on-read table rooted at ``path``."""
 
     def __init__(self, spark: SparkSession, path: str, snap: dict):
         self.spark = spark
@@ -69,7 +89,11 @@ class LakehouseTable:
     # ------------------------------------------------------------------
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, n_buckets: int = 64
+        cls,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 64,
+        max_deltas: int = 8,
     ) -> "LakehouseTable":
         """CREATE TABLE IF NOT EXISTS (SURVEY §2.1 S6)."""
         snap_dir = os.path.join(path, _SNAP_DIR)
@@ -80,7 +104,13 @@ class LakehouseTable:
         snap = {
             "version": 0,
             "n_buckets": n_buckets,
-            "files": {},  # bucket(str) -> [relative parquet paths]
+            "max_deltas": max_deltas,
+            # bucket(str) -> [rel paths] — resolved, bucket-pure base files
+            "buckets": {},
+            # [[rel paths], ...] — one entry per uncompacted delta commit;
+            # delta files are NOT bucketed (written straight out of the
+            # dedup shuffle: zero extra shuffle on the ingest hot path)
+            "deltas": [],
             "applied": [],  # ["job_id::batch_id", ...]
             "manifests": [],  # rows per MANIFEST_SCHEMA
             "watermark": -1,  # highest seq_to applied
@@ -108,6 +138,10 @@ class LakehouseTable:
         return self._snap["n_buckets"]
 
     @property
+    def max_deltas(self) -> int:
+        return self._snap.get("max_deltas", 8)
+
+    @property
     def version(self) -> int:
         return self._snap["version"]
 
@@ -120,36 +154,53 @@ class LakehouseTable:
     def is_applied(self, job_id: str, batch_id: int) -> bool:
         return f"{job_id}::{batch_id}" in set(self._snap["applied"])
 
-    def _files(self, buckets=None) -> list[str]:
-        fm = self._snap["files"]
-        keys = fm.keys() if buckets is None else [str(b) for b in buckets]
-        return [os.path.join(self.path, rel) for k in keys for rel in fm.get(k, [])]
+    def _abs(self, rels: list[str]) -> list[str]:
+        return [os.path.join(self.path, r) for r in rels]
 
-    def read(self, buckets=None, include_deleted: bool = False) -> DataFrame:
-        """Current table state (optionally restricted to buckets).
-        Tombstones (retained deletes) are filtered out unless
-        ``include_deleted`` — only the merge path needs them."""
-        files = self._files(buckets)
+    def _raw(self, files: list[str]) -> DataFrame:
+        """Read data files with the physical schema (delta files carry an
+        extra _n_events column; base files don't — permissive schema)."""
         if not files:
-            from pyspark.sql.types import IntegerType, StructField, StructType
-
-            # NB: StructType.add mutates in place — build a fresh copy.
-            schema = StructType(
-                list(TARGET_SCHEMA.fields)
-                + [StructField("_bucket", IntegerType(), False)]
-            )
+            schema = _read_schema().add("_bucket", IntegerType(), False)
             return self.spark.createDataFrame([], schema)
-        # _bucket lives in the directory layout (partitionBy strips it
-        # from file contents); project exactly the physical schema (so
-        # path-based partition inference can never inject a duplicate
-        # column) and re-derive _bucket — a pure function of doc_id.
         cols = [f.name for f in TARGET_SCHEMA.fields]
-        df = (
-            self.spark.read.schema(TARGET_SCHEMA)
+        return (
+            self.spark.read.schema(_read_schema(extra_n_events=True))
             .parquet(*files)
             .select(*cols)
             .withColumn("_bucket", _bucket_col("doc_id", self.n_buckets))
         )
+
+    @staticmethod
+    def _resolve(df: DataFrame) -> DataFrame:
+        """MoR resolve: one winning row per doc_id — max by
+        (_commit_seq, tombstone-rank, _row_id).  The tombstone rank makes
+        a delete beat a concurrent non-delete at equal seq, matching
+        dedup_lww's D > U/I priority; _row_id is a deterministic final
+        tie-break for byte-identical duplicate deliveries."""
+        cols = df.columns
+        ordering = F.struct(
+            F.col("_commit_seq").alias("_s"),
+            F.col("_deleted").cast("int").alias("_d"),
+            F.col("_row_id").alias("_r"),
+        )
+        winner = F.max_by(F.struct(*[F.col(c) for c in cols]), ordering).alias("w")
+        return df.groupBy("doc_id").agg(winner).select("w.*")
+
+    def read(self, buckets=None, include_deleted: bool = False) -> DataFrame:
+        """Current table state (optionally restricted to buckets).
+        Resolves base+delta rows per key; tombstones filtered unless
+        ``include_deleted``.  Bucket restriction prunes base files by
+        path and delta rows by predicate (deltas are unbucketed)."""
+        bm = self._snap["buckets"]
+        keys = bm.keys() if buckets is None else [str(b) for b in buckets]
+        base = [p for k in keys for p in bm.get(k, [])]
+        deltas = [p for ps in self._snap["deltas"] for p in ps]
+        df = self._raw(self._abs(base + deltas))
+        if buckets is not None and deltas:
+            df = df.where(F.col("_bucket").isin([int(b) for b in buckets]))
+        if deltas:  # base alone is already one-row-per-key
+            df = self._resolve(df)
         if not include_deleted:
             df = df.where(~F.col("_deleted"))
         return df
@@ -166,24 +217,32 @@ class LakehouseTable:
         updates: DataFrame,
         job_id: str,
         batch_id: int,
-        seq_from: int,
-        seq_to: int,
+        seq_from: int | None = None,
+        seq_to: int | None = None,
         events_read: int | None = None,
         force: bool = False,
     ) -> dict:
         """Apply a deduped update set (unique doc_id; columns doc_id, op,
-        tokens, n_tok, source, commit_seq) exactly once.
-
-        Semantics of the Iceberg statement it stands in for::
+        tokens, n_tok, source, commit_seq, optional _n_events) exactly
+        once.  Semantics of the Iceberg statement it stands in for::
 
             MERGE INTO target t USING updates u ON t.doc_id = u.doc_id
             WHEN MATCHED AND u.op = 'D' AND u.commit_seq >= t._commit_seq
-                THEN DELETE
+                THEN DELETE            -- here: tombstone row, wins resolve
             WHEN MATCHED AND u.commit_seq >= t._commit_seq
-                THEN UPDATE SET *
+                THEN UPDATE SET *      -- here: delta row, wins resolve
             WHEN NOT MATCHED AND u.op != 'D' THEN INSERT *
 
+        MoR: ONE write of the batch-sized update set; stale updates lose
+        the read-time resolve instead of being filtered by a join.
         Returns the manifest row (also persisted in the snapshot).
+
+        Internally split into ``prepare_delta`` (parallel-safe: runs the
+        pipeline and writes delta files, touches no table state) and
+        ``commit_delta`` (ordered: snapshot mutation + compaction), so a
+        runner can pipeline batch k+1's compute under batch k's commit —
+        the Spark analog of the reference's staged pipeline
+        (loader/service.go:82-97, SURVEY §2.7 X1).
         """
         if self.is_applied(job_id, batch_id) and not force:
             return next(
@@ -191,134 +250,146 @@ class LakehouseTable:
                 for m in self._snap["manifests"]
                 if m["job_id"] == job_id and m["batch_id"] == batch_id
             )
+        prepared = self.prepare_delta(updates, job_id, batch_id)
+        return self.commit_delta(
+            prepared, job_id, batch_id, seq_from, seq_to, events_read, force
+        )
 
-        nb = self.n_buckets
+    def prepare_delta(self, updates: DataFrame, job_id: str, batch_id: int) -> dict:
+        """Run the update pipeline and write delta files.  Stateless wrt
+        the snapshot — safe to run concurrently for different batches."""
         has_counts = "_n_events" in updates.columns
-        u = updates.withColumn("_bucket", _bucket_col("doc_id", nb))
-        # Persist: the update set feeds two jobs (stats, then the merge
-        # join+write) — without this the whole upstream read→normalize→
-        # dedup pipeline would run twice.  MEMORY_AND_DISK so a huge
-        # batch spills instead of OOMing.
-        u = u.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted = u
+        is_del = F.col("op") == "D"
+        rows = updates.select(
+            "doc_id",
+            F.when(~is_del, F.col("tokens")).alias("tokens"),
+            F.when(~is_del, F.col("n_tok")).cast("int").alias("n_tok"),
+            F.when(~is_del, F.col("source")).alias("source"),
+            F.col("commit_seq").cast("long").alias("_commit_seq"),
+            # Deterministic surrogate key (SURVEY §2.3 E2 — replaces the
+            # reference's uuid.New at schema/base.go:28).
+            F.sha2(
+                F.concat_ws("|", F.col("doc_id"), F.col("commit_seq").cast("string")),
+                256,
+            ).alias("_row_id"),
+            is_del.alias("_deleted"),
+            *([F.col("_n_events").cast("long")] if has_counts else []),
+        )
 
-        # Batch metrics + affected buckets in ONE aggregation pass over
-        # the (already small, post-LWW) update set (SURVEY §2.4 A2/A3).
-        count_aggs = [F.sum("_n_events").alias("ne")] if has_counts else []
-        stats = u.groupBy("_bucket").agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("d"),
+        # ONE pass over the upstream pipeline, ZERO extra shuffle: the
+        # deduped batch is written as-is (its partitioning is whatever the
+        # dedup groupBy produced).  Bucketing happens at compaction.
+        # Batch metrics ride along via Observation — collected DURING the
+        # write job, so the batch costs exactly one job (SURVEY §2.4 A2:
+        # the reference's running counters, without a second pass).
+        from pyspark.sql import Observation
+
+        obs = Observation(f"merge-{job_id}-{batch_id}")
+        rows = rows.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_deleted").cast("int")).alias("d"),
             F.min("doc_id").alias("lo"),
             F.max("doc_id").alias("hi"),
-            *count_aggs,
-        ).collect()
-        if not stats:
-            persisted.unpersist()
-            return self._commit_noop(job_id, batch_id, seq_from, seq_to, events_read)
-        buckets = sorted(r["_bucket"] for r in stats)
-        n_upd = sum(r["n"] for r in stats)
-        n_del = sum(r["d"] for r in stats)
-        min_doc = min(r["lo"] for r in stats)
-        max_doc = max(r["hi"] for r in stats)
-        if events_read is None and has_counts:
-            events_read = sum(r["ne"] for r in stats)
-        if has_counts:
-            u = u.drop("_n_events")
-
-        target = self.read(buckets=buckets, include_deleted=True)
-
-        # Full-outer resolve on doc_id.  AQE broadcasts whichever side is
-        # small and splits skewed partitions; both sides are restricted
-        # to the affected buckets.
-        t = target.select(
-            F.col("doc_id").alias("t_doc_id"),
-            F.col("tokens").alias("t_tokens"),
-            F.col("n_tok").alias("t_n_tok"),
-            F.col("source").alias("t_source"),
-            F.col("_commit_seq").alias("t_seq"),
-            F.col("_row_id").alias("t_row_id"),
-            F.col("_deleted").alias("t_deleted"),
-            F.col("_bucket").alias("t_bucket"),
+            F.min("_commit_seq").alias("smin"),
+            F.max("_commit_seq").alias("smax"),
+            *([F.sum("_n_events").alias("ne")] if has_counts else []),
         )
-        j = u.join(t, u["doc_id"] == t["t_doc_id"], "full_outer")
-
-        # The update wins iff it is at-or-after the stored row's seq —
-        # including a stored TOMBSTONE's seq: this is what stops a forced
-        # replay of an older range from resurrecting a later delete.
-        upd_wins = F.col("doc_id").isNotNull() & (
-            F.col("t_seq").isNull() | (F.col("commit_seq") >= F.col("t_seq"))
-        )
-        is_del = F.col("op") == "D"
-
-        out_doc = F.when(upd_wins, F.col("doc_id")).otherwise(F.col("t_doc_id"))
-        out_seq = F.when(upd_wins, F.col("commit_seq")).otherwise(F.col("t_seq"))
-        out_deleted = F.when(upd_wins, is_del).otherwise(F.col("t_deleted"))
-        live_val = lambda uc, tc: F.when(  # noqa: E731 — tombstones carry no payload
-            upd_wins, F.when(~is_del, F.col(uc))
-        ).otherwise(F.col(tc))
-        result = (
-            j.where(F.col("doc_id").isNotNull() | F.col("t_doc_id").isNotNull())
-            .select(
-                out_doc.alias("doc_id"),
-                live_val("tokens", "t_tokens").alias("tokens"),
-                live_val("n_tok", "t_n_tok").alias("n_tok"),
-                live_val("source", "t_source").alias("source"),
-                out_seq.alias("_commit_seq"),
-                # Deterministic surrogate key (SURVEY §2.3 E2 — replaces
-                # the reference's uuid.New at schema/base.go:28).
-                F.when(
-                    upd_wins,
-                    F.sha2(F.concat_ws("|", out_doc, out_seq.cast("string")), 256),
-                ).otherwise(F.col("t_row_id")).alias("_row_id"),
-                out_deleted.alias("_deleted"),
-                F.when(upd_wins, F.col("_bucket")).otherwise(F.col("t_bucket")).alias("_bucket"),
-            )
-        )
-
-        # Copy-on-write: new files for affected buckets under a fresh
-        # commit dir; untouched buckets keep their existing files.
-        commit_rel = os.path.join(_DATA_DIR, f"commit-{uuid.uuid4().hex}")
+        commit_rel = os.path.join(_DATA_DIR, f"delta-{uuid.uuid4().hex}")
         commit_abs = os.path.join(self.path, commit_rel)
-        (
-            result.repartition(max(1, min(len(buckets), 32)), "_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(commit_abs)
-        )
-        persisted.unpersist()
+        rows.write.mode("overwrite").parquet(commit_abs)
+        new_files = _list_parquet_files(commit_abs, self.path)
+        if not new_files:
+            return {"files": [], "stats": None, "has_counts": has_counts}
+        stats = dict(obs.get)
+        if not has_counts:
+            stats["ne"] = None
+        return {"files": new_files, "stats": stats, "has_counts": has_counts}
 
-        new_files = dict(self._snap["files"])
-        for b in buckets:
-            new_files[str(b)] = []
-        for dirpath, _dirs, fnames in os.walk(commit_abs):
-            for fn in fnames:
-                if fn.endswith(".parquet"):
-                    b = int(os.path.basename(dirpath).split("=", 1)[1])
-                    rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
-                    new_files.setdefault(str(b), []).append(rel)
+    def commit_delta(
+        self,
+        prepared: dict,
+        job_id: str,
+        batch_id: int,
+        seq_from: int | None = None,
+        seq_to: int | None = None,
+        events_read: int | None = None,
+        force: bool = False,
+    ) -> dict:
+        """Publish a prepared delta: manifest + (maybe) compaction + the
+        atomic snapshot swap.  Must be called in batch order."""
+        if self.is_applied(job_id, batch_id) and not force:
+            return next(
+                m
+                for m in self._snap["manifests"]
+                if m["job_id"] == job_id and m["batch_id"] == batch_id
+            )
+        stats = prepared["stats"]
+        if stats is None or stats["n"] == 0:
+            return self._commit_noop(job_id, batch_id, seq_from, seq_to, events_read)
+        # Streaming epochs don't know their seq range up front — derive
+        # it from the delta's observed min/max (no extra job).
+        if seq_from is None:
+            seq_from = int(stats["smin"])
+        if seq_to is None:
+            seq_to = int(stats["smax"])
+        if events_read is None:
+            events_read = (
+                stats["ne"]
+                if prepared["has_counts"] and stats["ne"] is not None
+                else stats["n"]
+            )
+
+        buckets_map = dict(self._snap["buckets"])
+        deltas = self._snap["deltas"] + [prepared["files"]]
+        if len(deltas) >= self.max_deltas:
+            buckets_map = self._compact_all(buckets_map, deltas)
+            deltas = []
 
         manifest = {
             "job_id": job_id,
             "batch_id": int(batch_id),
             "seq_from": int(seq_from),
             "seq_to": int(seq_to),
-            "events_read": int(events_read if events_read is not None else n_upd),
-            "events_applied": int(n_upd),
-            "deletes_applied": int(n_del),
-            "min_doc_id": min_doc,
-            "max_doc_id": max_doc,
+            "events_read": int(events_read),
+            "events_applied": int(stats["n"]),
+            "deletes_applied": int(stats["d"] or 0),
+            "min_doc_id": stats["lo"],
+            "max_doc_id": stats["hi"],
             "committed_at": datetime.now(timezone.utc).isoformat(),
             "snapshot_version": self.version + 1,
         }
-        self._commit(new_files, manifest)
+        self._commit(buckets_map, deltas, manifest)
         return manifest
+
+    def _write_partitions(self) -> int:
+        return min(self.n_buckets, int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+        ))
+
+    def _compact_all(self, buckets_map: dict, deltas: list) -> dict[str, list[str]]:
+        """Fold all bases + pending deltas into fresh resolved,
+        bucket-pure base files.  Copy-on-write amortized to every
+        ``max_deltas``-th batch (Iceberg rewrite_data_files analog):
+        amortized per-batch compaction cost = table_size / max_deltas."""
+        paths = [p for ps in buckets_map.values() for p in ps]
+        paths += [p for ps in deltas for p in ps]
+        resolved = self._resolve(self._raw(self._abs(paths)))
+        commit_abs = os.path.join(self.path, _DATA_DIR, f"base-{uuid.uuid4().hex}")
+        (
+            resolved.repartition(self._write_partitions(), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(commit_abs)
+        )
+        return _list_bucket_files(commit_abs, self.path)
 
     def _commit_noop(self, job_id, batch_id, seq_from, seq_to, events_read) -> dict:
         manifest = {
             "job_id": job_id,
             "batch_id": int(batch_id),
-            "seq_from": int(seq_from),
-            "seq_to": int(seq_to),
+            "seq_from": int(seq_from if seq_from is not None else -1),
+            "seq_to": int(seq_to if seq_to is not None else -1),
             "events_read": int(events_read or 0),
             "events_applied": 0,
             "deletes_applied": 0,
@@ -327,14 +398,16 @@ class LakehouseTable:
             "committed_at": datetime.now(timezone.utc).isoformat(),
             "snapshot_version": self.version + 1,
         }
-        self._commit(dict(self._snap["files"]), manifest)
+        self._commit(dict(self._snap["buckets"]), list(self._snap["deltas"]), manifest)
         return manifest
 
-    def _commit(self, files: dict, manifest: dict) -> None:
+    def _commit(self, buckets_map: dict, deltas: list, manifest: dict) -> None:
         new_snap = {
             "version": self.version + 1,
             "n_buckets": self.n_buckets,
-            "files": files,
+            "max_deltas": self.max_deltas,
+            "buckets": buckets_map,
+            "deltas": deltas,
             "applied": sorted(
                 set(self._snap["applied"])
                 | {f"{manifest['job_id']}::{manifest['batch_id']}"}
@@ -348,6 +421,17 @@ class LakehouseTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
+    def compact(self) -> None:
+        """Fold all pending deltas into bucket-pure base files."""
+        if not self._snap["deltas"]:
+            return
+        buckets_map = self._compact_all(self._snap["buckets"], self._snap["deltas"])
+        new_snap = dict(
+            self._snap, version=self.version + 1, buckets=buckets_map, deltas=[]
+        )
+        _commit_snapshot(os.path.join(self.path, _SNAP_DIR), new_snap)
+        self._snap = new_snap
+
     def purge_tombstones(self, horizon_seq: int) -> int:
         """Physically drop tombstones with ``_commit_seq <= horizon_seq``.
 
@@ -362,38 +446,31 @@ class LakehouseTable:
         if n_purged == 0:
             return 0
         kept = all_rows.where(~purge)
-        commit_rel = os.path.join(_DATA_DIR, f"purge-{uuid.uuid4().hex}")
-        commit_abs = os.path.join(self.path, commit_rel)
+        commit_abs = os.path.join(self.path, _DATA_DIR, f"base-{uuid.uuid4().hex}")
         (
-            kept.repartition(32, "_bucket")
+            kept.repartition(self._write_partitions(), "_bucket")
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(commit_abs)
         )
-        new_files: dict[str, list[str]] = {}
-        for dirpath, _dirs, fnames in os.walk(commit_abs):
-            for fn in fnames:
-                if fn.endswith(".parquet"):
-                    b = int(os.path.basename(dirpath).split("=", 1)[1])
-                    rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
-                    new_files.setdefault(str(b), []).append(rel)
-        new_snap = {
-            "version": self.version + 1,
-            "n_buckets": self.n_buckets,
-            "files": new_files,
-            "applied": self._snap["applied"],
-            "manifests": self._snap["manifests"],
-            "watermark": self._snap["watermark"],
-        }
+        new_snap = dict(
+            self._snap,
+            version=self.version + 1,
+            buckets=_list_bucket_files(commit_abs, self.path),
+            deltas=[],
+        )
         _commit_snapshot(os.path.join(self.path, _SNAP_DIR), new_snap)
         self._snap = new_snap
         return n_purged
 
     def vacuum(self) -> int:
         """Delete data files not referenced by the latest snapshot
-        (orphans from crashed commits / superseded bucket versions)."""
-        live = {os.path.join(self.path, rel) for rel in
-                (p for ps in self._snap["files"].values() for p in ps)}
+        (orphans from crashed commits / superseded compactions)."""
+        live = {
+            os.path.join(self.path, rel)
+            for ps in list(self._snap["buckets"].values()) + self._snap["deltas"]
+            for rel in ps
+        }
         removed = 0
         data_root = os.path.join(self.path, _DATA_DIR)
         for dirpath, _dirs, fnames in os.walk(data_root, topdown=False):
@@ -410,6 +487,26 @@ class LakehouseTable:
 # ---------------------------------------------------------------------------
 # snapshot file helpers
 # ---------------------------------------------------------------------------
+def _list_bucket_files(commit_abs: str, table_root: str) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for dirpath, _dirs, fnames in os.walk(commit_abs):
+        for fn in fnames:
+            if fn.endswith(".parquet"):
+                b = os.path.basename(dirpath).split("=", 1)[1]
+                rel = os.path.relpath(os.path.join(dirpath, fn), table_root)
+                out.setdefault(str(int(b)), []).append(rel)
+    return out
+
+
+def _list_parquet_files(commit_abs: str, table_root: str) -> list[str]:
+    out: list[str] = []
+    for dirpath, _dirs, fnames in os.walk(commit_abs):
+        for fn in fnames:
+            if fn.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(dirpath, fn), table_root))
+    return out
+
+
 def _snap_name(v: int) -> str:
     return f"v{v:012d}.json"
 

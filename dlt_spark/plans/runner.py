@@ -72,7 +72,9 @@ def run_incremental(
     n_buckets: int = 64,
     force: bool = False,
     use_arrow_udf: bool = False,
+    salt: bool = False,
     salt_partitions: int | None = None,
+    max_inflight: int = 3,
     log_part_width: int = 100_000,
     fail_after_batches: int | None = None,
     verbose: bool = False,
@@ -110,37 +112,63 @@ def run_incremental(
     applied = skipped = ev_read = ev_applied = dels = 0
     manifests: list[dict] = []
 
-    for i, (batch_id, lo, hi) in enumerate(batches):
-        if fail_after_batches is not None and i >= fail_after_batches:
-            raise RuntimeError(f"injected crash before batch {batch_id}")
-        if table.is_applied(job_id, batch_id) and not force:
-            skipped += 1
-            continue
-
+    def _prepare(batch_id: int, lo: int, hi: int) -> dict:
         events = read_change_log_range(spark, log_path, lo, hi, log_part_width)
         normalized = normalize_events(events, use_arrow_udf=use_arrow_udf)
-        spread = salted_repartition(normalized, num_partitions=salt_partitions)
-        updates = dedup_lww(spread, with_counts=True)
-
-        m = table.merge(
-            updates,
-            job_id=job_id,
-            batch_id=batch_id,
-            seq_from=lo,
-            seq_to=hi,
-            force=force,
+        # Salting is OFF by default: the LWW dedup is a hash aggregate
+        # with map-side partial aggregation, which already collapses a
+        # hot key inside each map task before the shuffle — the classic
+        # "hot key floods one reducer" failure mode does not apply.
+        # salt=True adds an explicit spreading shuffle for stages that
+        # DO need balanced key-local work (e.g. order-dependent grouped
+        # UDFs); it costs one extra shuffle per batch (SURVEY §2.7 X4).
+        spread = (
+            salted_repartition(normalized, num_partitions=salt_partitions)
+            if salt
+            else normalized
         )
-        manifests.append(m)
-        applied += 1
-        ev_read += m["events_read"]
-        ev_applied += m["events_applied"]
-        dels += m["deletes_applied"]
-        if verbose:
-            print(
-                f"[{job_id}] batch {batch_id} seq[{lo},{hi}] "
-                f"read={m['events_read']} applied={m['events_applied']} "
-                f"snapshot=v{m['snapshot_version']}"
-            )
+        updates = dedup_lww(spread, with_counts=True)
+        return table.prepare_delta(updates, job_id, batch_id)
+
+    # Pipelined execution (the Spark analog of the reference's staged
+    # collector→workers→sink pipeline, loader/service.go:82-97): delta
+    # PREPARATION for up to ``max_inflight`` batches runs concurrently —
+    # MoR delta writes are independent — while snapshot COMMITS stay
+    # strictly in batch order (exactly-once and watermark monotonicity
+    # live in the commit).  This hides per-batch driver latency behind
+    # the next batches' distributed compute.
+    work = [
+        (batch_id, lo, hi)
+        for batch_id, lo, hi in batches
+        if force or not table.is_applied(job_id, batch_id)
+    ]
+    skipped = len(batches) - len(work)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, max_inflight)) as pool:
+        futs = [pool.submit(_prepare, b, lo, hi) for b, lo, hi in work]
+        try:
+            for i, ((batch_id, lo, hi), fut) in enumerate(zip(work, futs)):
+                if fail_after_batches is not None and i >= fail_after_batches:
+                    raise RuntimeError(f"injected crash before batch {batch_id}")
+                prepared = fut.result()
+                m = table.commit_delta(
+                    prepared, job_id, batch_id, seq_from=lo, seq_to=hi, force=force
+                )
+                manifests.append(m)
+                applied += 1
+                ev_read += m["events_read"]
+                ev_applied += m["events_applied"]
+                dels += m["deletes_applied"]
+                if verbose:
+                    print(
+                        f"[{job_id}] batch {batch_id} seq[{lo},{hi}] "
+                        f"read={m['events_read']} applied={m['events_applied']} "
+                        f"snapshot=v{m['snapshot_version']}"
+                    )
+        finally:
+            for f in futs:
+                f.cancel()
 
     wall = time.monotonic() - t0
     return RunResult(

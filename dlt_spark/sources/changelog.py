@@ -14,8 +14,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from dlt_spark.schemas import CHANGE_EVENT_SCHEMA
 
 DEFAULT_PART_WIDTH = 100_000
+
+# Explicit read schema (change-event columns + the partition column):
+# skips the footer-sampling schema-inference job on every batch read.
+_LOG_SCHEMA = StructType(
+    list(CHANGE_EVENT_SCHEMA.fields) + [StructField("seq_part", LongType(), True)]
+)
 
 
 def write_change_log(
@@ -43,7 +52,7 @@ def read_change_log_range(
     The ``seq_part`` predicate is derivable from the commit_seq range but
     stated explicitly so pruning never depends on an optimizer rewrite.
     """
-    df = spark.read.parquet(path)
+    df = spark.read.schema(_LOG_SCHEMA).parquet(path)
     lo_part, hi_part = seq_from // part_width, seq_to // part_width
     return df.where(
         (F.col("seq_part") >= lo_part)

@@ -25,7 +25,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TOKEN_VOCAB = 50_000
-MIN_TOKENS, MAX_TOKENS = 8, 64
+# Sized like real pre-tokenized training sequences (BASELINE.json
+# input_hint): avg ~288 tokens ≈ 1.2 KB/event → 10^10 events ≈ 12 TB.
+MIN_TOKENS, MAX_TOKENS = 64, 512
 
 
 def _h(col: Column, salt: str, seed: int) -> Column:

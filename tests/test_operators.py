@@ -1,0 +1,138 @@
+"""Unit tests per operator (SURVEY §5): LWW tie-breaking incl.
+tombstone ordering, batch planning, normalizer edge cases, salted
+repartition determinism, deterministic ids."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+from pyspark.sql import Row
+
+from dlt_spark.functions.ids import deterministic_row_id
+from dlt_spark.functions.normalize import normalize_events
+from dlt_spark.operators.dedup import dedup_lww
+from dlt_spark.operators.salt import salted_repartition
+from dlt_spark.plans.runner import plan_batches
+from dlt_spark.schemas import CHANGE_EVENT_SCHEMA
+
+
+def _ev(seq, doc, op, tokens=None, payload=None, version=1, source="s"):
+    return Row(
+        commit_seq=seq, doc_id=doc, op=op, tokens=tokens, payload=payload,
+        payload_version=version, source=source, extracted_at=None,
+    )
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# M2: LWW dedup
+# ---------------------------------------------------------------------------
+
+def test_lww_picks_highest_seq(spark):
+    df = _events_df(spark, [
+        _ev(1, "a", "I", [1]), _ev(5, "a", "U", [2]), _ev(3, "a", "U", [3]),
+    ])
+    out = dedup_lww(df).collect()
+    assert len(out) == 1 and out[0]["commit_seq"] == 5 and out[0]["tokens"] == [2]
+
+
+def test_lww_tie_delete_beats_update_beats_insert(spark):
+    df = _events_df(spark, [
+        _ev(7, "a", "I", [1]), _ev(7, "a", "D"), _ev(7, "a", "U", [2]),
+    ])
+    out = dedup_lww(df).collect()
+    assert len(out) == 1 and out[0]["op"] == "D"
+
+    df2 = _events_df(spark, [_ev(7, "b", "I", [1]), _ev(7, "b", "U", [2])])
+    out2 = dedup_lww(df2).collect()
+    assert out2[0]["op"] == "U"
+
+
+def test_lww_duplicate_delivery_collapses(spark):
+    df = _events_df(spark, [_ev(4, "a", "U", [9])] * 3 + [_ev(2, "a", "I", [1])])
+    out = dedup_lww(df, with_counts=True).collect()
+    assert len(out) == 1
+    assert out[0]["_n_events"] == 4 and out[0]["commit_seq"] == 4
+
+
+def test_lww_multiple_keys_independent(spark):
+    df = _events_df(spark, [
+        _ev(1, "a", "I", [1]), _ev(2, "b", "I", [2]), _ev(3, "a", "D"),
+    ])
+    out = {r["doc_id"]: r for r in dedup_lww(df).collect()}
+    assert out["a"]["op"] == "D" and out["b"]["op"] == "I"
+
+
+# ---------------------------------------------------------------------------
+# P2/L2: batch planning
+# ---------------------------------------------------------------------------
+
+def test_plan_batches_alignment():
+    # batches align to width boundaries regardless of range start, so a
+    # resumed run regenerates identical batch ids
+    assert plan_batches(0, 2999, 1000) == [(0, 0, 999), (1, 1000, 1999), (2, 2000, 2999)]
+    assert plan_batches(1500, 2999, 1000) == [(1, 1500, 1999), (2, 2000, 2999)]
+    assert plan_batches(500, 500, 1000) == [(0, 500, 500)]
+    assert plan_batches(999, 1000, 1000) == [(0, 999, 999), (1, 1000, 1000)]
+
+
+# ---------------------------------------------------------------------------
+# E3: normalizer edge cases (both paths)
+# ---------------------------------------------------------------------------
+
+def _norm_rows(spark, use_arrow):
+    df = _events_df(spark, [
+        _ev(1, "a", "I", [1, 2, 3], version=1),
+        _ev(2, "b", "I", None, "10,20", version=2),
+        _ev(3, "c", "I", None, '{"ids": [7]}', version=3),
+        _ev(4, "d", "D", None, None, version=2),   # tombstone: no payload
+        _ev(5, "e", "I", [], version=1),            # empty token array
+    ])
+    out = normalize_events(df, use_arrow_udf=use_arrow)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_normalizer_native_and_arrow_agree(spark):
+    for use_arrow in (False, True):
+        rows = _norm_rows(spark, use_arrow)
+        assert list(rows["a"]["tokens"]) == [1, 2, 3] and rows["a"]["n_tok"] == 3
+        assert list(rows["b"]["tokens"]) == [10, 20] and rows["b"]["n_tok"] == 2
+        assert list(rows["c"]["tokens"]) == [7] and rows["c"]["n_tok"] == 1
+        assert rows["d"]["tokens"] is None and rows["d"]["n_tok"] is None
+        assert list(rows["e"]["tokens"]) == [] and rows["e"]["n_tok"] == 0
+
+
+# ---------------------------------------------------------------------------
+# X4: salted repartition
+# ---------------------------------------------------------------------------
+
+def test_salted_repartition_preserves_rows_and_is_deterministic(spark):
+    df = _events_df(spark, [_ev(i, "hot", "I", [i]) for i in range(100)])
+    a = salted_repartition(df, num_partitions=8, salt_buckets=4)
+    assert a.count() == 100
+    # hot key spread over >1 partition
+    parts = a.withColumn("p", F.spark_partition_id()).select("p").distinct().count()
+    assert parts > 1
+    # deterministic: same rows land in same partitions on recompute
+    m1 = {r["commit_seq"]: r["p"] for r in
+          a.withColumn("p", F.spark_partition_id()).collect()}
+    m2 = {r["commit_seq"]: r["p"] for r in
+          salted_repartition(df, num_partitions=8, salt_buckets=4)
+          .withColumn("p", F.spark_partition_id()).collect()}
+    assert m1 == m2
+
+
+# ---------------------------------------------------------------------------
+# E2: deterministic row ids
+# ---------------------------------------------------------------------------
+
+def test_deterministic_row_id_matches_sha256(spark):
+    df = spark.createDataFrame([("a", 42)], "doc_id string, commit_seq long")
+    rid = df.select(
+        deterministic_row_id(F.col("doc_id"), F.col("commit_seq")).alias("r")
+    ).collect()[0]["r"]
+    assert rid == hashlib.sha256(b"a|42").hexdigest()

@@ -1,0 +1,54 @@
+"""Streaming sync (Trigger.AvailableNow) converges to the same final
+table as the batch runner and is exactly-once across a restart."""
+
+from __future__ import annotations
+
+import pytest
+
+from dlt_spark.sources.changelog import write_change_log
+from dlt_spark.sources.generator import generate_change_log
+from dlt_spark.streaming.sync import run_stream_sync
+
+from tests.oracle import assert_table_matches, fold_expected_state
+
+N_EVENTS = 3_000
+
+
+@pytest.fixture(scope="module")
+def stream_log(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("slog") / "events")
+    df = generate_change_log(
+        spark, N_EVENTS, n_keys=300, seed=7, dup_frac=0.05,
+        version_mix=(0.5, 0.3, 0.2),
+    )
+    write_change_log(df, path, part_width=500)
+    return path
+
+
+def test_stream_sync_converges(spark, stream_log, tmp_path):
+    table = run_stream_sync(
+        spark,
+        stream_log,
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ckpt"),
+        n_buckets=16,
+        max_files_per_trigger=4,  # force multiple epochs
+    )
+    expected = fold_expected_state(
+        spark.read.parquet(stream_log).drop("seq_part").toPandas()
+    )
+    actual = table.read().select(
+        "doc_id", "tokens", "n_tok", "source", "_commit_seq"
+    ).toPandas()
+    assert_table_matches(actual, expected)
+    assert len(table._snap["manifests"]) > 1  # really ran multiple epochs
+
+
+def test_stream_sync_restart_noop(spark, stream_log, tmp_path):
+    """Second AvailableNow run over the same checkpoint: nothing new to
+    consume, table version unchanged."""
+    tbl, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    t1 = run_stream_sync(spark, stream_log, tbl, ckpt, n_buckets=16)
+    v1 = t1.version
+    t2 = run_stream_sync(spark, stream_log, tbl, ckpt, n_buckets=16)
+    assert t2.version == v1
