@@ -17,3 +17,10 @@ def spark():
     )
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def spark_global(request):
+    """Alias usable inside hypothesis @given tests (function-scoped
+    fixtures don't mix with hypothesis; session scope does)."""
+    return request.getfixturevalue("spark")
