@@ -385,6 +385,56 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-LSH bucketed cosine top-k (3 hyperplanes →
+    8 buckets; candidates share the query's bucket)."""
+    from dlt_spark.functions.similarity import lsh_bucket_topk
+
+    _views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    out = lsh_bucket_topk(
+        emb.where(F.col("vec_id") < 5),
+        emb.where(F.col("vec_id") >= 5),
+        k=5,
+        n_planes=3,
+        dim=64,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rnk", F.round("sim", 5).alias("sim_r")
+    )
+
+
+def q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets."""
+    from dlt_spark.functions.similarity import near_dup_pairs_cosine
+
+    _views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings").where(F.col("vec_id") < 150)
+    out = near_dup_pairs_cosine(emb, threshold=0.3, n_planes=3, dim=64)
+    return out.select("a_id", "b_id", F.round("sim", 5).alias("sim_r"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → mapInPandas feature
+    extraction over Arrow batches (decode kernel stubbed — byte-level
+    features the oracle can recompute from the source text)."""
+    from dlt_spark.functions.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    _views(spark, sf_dir, "documents")
+    media = media_from_documents(spark.table("documents"))
+    feats = extract_features(media, n_samples=4)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("first_byte").cast("bigint").alias("first_byte"),
+        F.col("last_byte").cast("bigint").alias("last_byte"),
+        F.array_join(F.col("samples").cast("array<string>"), ",").alias("samples_str"),
+    )
+
+
 def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding count + mean L2 norm."""
     _views(spark, sf_dir, "embeddings")
@@ -478,6 +528,9 @@ QUERIES = {
     "docs_simhash": q_docs_simhash,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
+    "emb_neardup_pairs": q_emb_neardup_pairs,
+    "multimodal_features": q_multimodal_features,
     "emb_norm_stats": q_emb_norm_stats,
     "docs_lang_id": q_docs_lang_id,
     "docs_quality_score": q_docs_quality_score,
@@ -633,6 +686,71 @@ ranked AS (
   FROM pairs)
 SELECT query_id, neighbor_id, cast(rnk AS bigint) AS rnk, round(sim, 5) AS sim_r
 FROM ranked WHERE rnk <= 5
+"""
+
+# sign-LSH oracle: hyperplanes regenerated in SQL from md5 — identical
+# to functions/similarity.hyperplane() by construction.
+def _dk_plane_dot(j: int) -> str:
+    hv = _dk_hash60(f"'{j}|' || (i - 1)")
+    return (
+        "list_reduce(list_transform(range(1, len(v) + 1), "
+        f"i -> v[i] * ((({hv} % 2001) - 1000) / 1000.0)), (a, b) -> a + b)"
+    )
+
+
+_dk_sig = " + ".join(
+    f"(CASE WHEN {_dk_plane_dot(j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(3)
+)
+_DK_LSH_BASE = f"""
+e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+      FROM embeddings),
+sig AS (
+  SELECT vec_id, v, {_dk_sig} AS b,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM e)
+"""
+
+_ORACLES["emb_ann_lsh_topk"] = f"""
+WITH {_DK_LSH_BASE},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(q.v) + 1),
+                                    i -> q.v[i] * c.v[i]),
+                     (a, b) -> a + b) / (q.nrm * c.nrm) AS sim
+  FROM sig q JOIN sig c ON q.b = c.b
+  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs)
+SELECT query_id, neighbor_id, cast(rnk AS bigint) AS rnk, round(sim, 5) AS sim_r
+FROM ranked WHERE rnk <= 5
+"""
+
+_ORACLES["emb_neardup_pairs"] = f"""
+WITH {_DK_LSH_BASE},
+flt AS (SELECT * FROM sig WHERE vec_id < 150)
+SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+       round(list_reduce(list_transform(range(1, len(a.v) + 1),
+                                        i -> a.v[i] * c.v[i]),
+                         (a2, b2) -> a2 + b2) / (a.nrm * c.nrm), 5) AS sim_r
+FROM flt a JOIN flt c ON a.b = c.b AND a.vec_id < c.vec_id
+WHERE list_reduce(list_transform(range(1, len(a.v) + 1),
+                                 i -> a.v[i] * c.v[i]),
+                  (a2, b2) -> a2 + b2) / (a.nrm * c.nrm) >= 0.3
+"""
+
+# byte features: documents text is ASCII by construction → utf-8 bytes
+# == characters, so the mapInPandas stub is reproducible in SQL.
+_ORACLES["multimodal_features"] = """
+SELECT doc_id,
+       cast(length(text) AS bigint) AS n_bytes,
+       cast(ascii(substr(text, 1, 1)) AS bigint) AS first_byte,
+       cast(ascii(substr(text, length(text), 1)) AS bigint) AS last_byte,
+       array_to_string(list_transform(range(0, 4),
+           i -> ascii(substr(text, cast(floor(i * length(text) / 4) AS int) + 1, 1))),
+           ',') AS samples_str
+FROM documents
 """
 
 _ORACLES["emb_norm_stats"] = """
