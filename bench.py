@@ -65,6 +65,17 @@ def main() -> int:
     )
     write_change_log(events, log_path, part_width=part_width)
 
+    # --- warm-up (untimed, BASELINE.md protocol): JIT/codegen/Arrow
+    # init on a 10% prefix into a throwaway table ---
+    warm_tbl = os.path.join(work, "warm")
+    run_incremental(
+        spark, log_path, warm_tbl,
+        seq_from=0, seq_to=max(0, n_events // 10 - 1),
+        batch_width=batch_width, n_buckets=64, log_part_width=part_width,
+        use_arrow_udf=use_arrow,
+    )
+    shutil.rmtree(warm_tbl, ignore_errors=True)
+
     # --- timed: full replay to convergence ---
     t0 = time.monotonic()
     res = run_incremental(

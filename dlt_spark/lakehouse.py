@@ -293,6 +293,15 @@ class LakehouseTable:
             F.max("doc_id").alias("hi"),
             F.min("_commit_seq").alias("smin"),
             F.max("_commit_seq").alias("smax"),
+            # order-insensitive batch content hash (SURVEY §2.1 S2):
+            # sum of bounded per-row hashes — commutative, overflow-safe
+            # up to ~10^9 rows per batch
+            F.sum(
+                F.pmod(
+                    F.xxhash64("doc_id", "_commit_seq", "_row_id", "_deleted"),
+                    F.lit(1 << 30),
+                )
+            ).alias("dh"),
             *([F.sum("_n_events").alias("ne")] if has_counts else []),
         )
         commit_rel = os.path.join(_DATA_DIR, f"delta-{uuid.uuid4().hex}")
@@ -358,9 +367,43 @@ class LakehouseTable:
             "max_doc_id": stats["hi"],
             "committed_at": datetime.now(timezone.utc).isoformat(),
             "snapshot_version": self.version + 1,
+            "data_hash": int(stats["dh"] or 0),
+            "delta_files": prepared["files"],
         }
         self._commit(buckets_map, deltas, manifest)
         return manifest
+
+    def verify_batch(self, job_id: str, batch_id: int) -> bool | None:
+        """Integrity check (SURVEY §2.1 S2): recompute the manifest's
+        order-insensitive content hash from the batch's own delta files.
+        Returns None when the files were compacted away (row-level
+        verification window closed), True/False otherwise."""
+        m = next(
+            (
+                m
+                for m in self._snap["manifests"]
+                if m["job_id"] == job_id and m["batch_id"] == batch_id
+            ),
+            None,
+        )
+        if m is None or m.get("data_hash") is None:
+            return False
+        files = self._abs(m.get("delta_files") or [])
+        if not files or not all(os.path.exists(f) for f in files):
+            return None
+        got = (
+            self._raw(files)
+            .agg(
+                F.sum(
+                    F.pmod(
+                        F.xxhash64("doc_id", "_commit_seq", "_row_id", "_deleted"),
+                        F.lit(1 << 30),
+                    )
+                ).alias("dh")
+            )
+            .collect()[0]["dh"]
+        )
+        return int(got or 0) == m["data_hash"]
 
     def _write_partitions(self) -> int:
         return min(self.n_buckets, int(
@@ -397,6 +440,8 @@ class LakehouseTable:
             "max_doc_id": None,
             "committed_at": datetime.now(timezone.utc).isoformat(),
             "snapshot_version": self.version + 1,
+            "data_hash": None,
+            "delta_files": None,
         }
         self._commit(dict(self._snap["buckets"]), list(self._snap["deltas"]), manifest)
         return manifest

@@ -112,7 +112,23 @@ def run_incremental(
     applied = skipped = ev_read = ev_applied = dels = 0
     manifests: list[dict] = []
 
-    def _prepare(batch_id: int, lo: int, hi: int) -> dict:
+    def _prepare(batch_id: int, lo: int, hi: int, _attempts: int = 2) -> dict:
+        """Bounded retry (SURVEY §2.7 X5 — replaces the reference's
+        unbounded 1s·2^k loop, utils/tools.go:66-75): Spark already
+        retries tasks; this covers whole-job failures.  The job is
+        idempotent (fresh delta dir per attempt; orphans vacuum away),
+        so a retry is safe by construction."""
+        last: Exception | None = None
+        for attempt in range(_attempts):
+            try:
+                return _prepare_once(batch_id, lo, hi)
+            except Exception as e:  # noqa: BLE001 — rethrown after retries
+                last = e
+                if attempt + 1 < _attempts:
+                    time.sleep(1.0 * (attempt + 1))
+        raise last  # type: ignore[misc]
+
+    def _prepare_once(batch_id: int, lo: int, hi: int) -> dict:
         events = read_change_log_range(spark, log_path, lo, hi, log_part_width)
         normalized = normalize_events(events, use_arrow_udf=use_arrow_udf)
         # Salting is OFF by default: the LWW dedup is a hash aggregate

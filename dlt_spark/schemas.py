@@ -101,5 +101,12 @@ MANIFEST_SCHEMA = StructType(
         StructField("max_doc_id", StringType(), True),
         StructField("committed_at", StringType(), False),  # ISO-8601
         StructField("snapshot_version", LongType(), False),
+        # Order-insensitive content hash of the applied delta (SURVEY
+        # §2.1 S2: the reference verifies sha256(payload) == on-chain
+        # DataHash, schema/storage_provider.go:41-45; here the hash is
+        # computed during the write job and lets any reader re-verify a
+        # batch's files against its manifest).
+        StructField("data_hash", LongType(), True),
+        StructField("delta_files", ArrayType(StringType()), True),
     ]
 )

@@ -117,6 +117,25 @@ def test_forced_partial_replay_no_resurrection(spark, log_path, expected, tmp_pa
     assert_table_matches(actual, expected)
 
 
+def test_batch_integrity_hash(spark, log_path, expected, tmp_path):
+    """S2 parity: each manifest's content hash re-verifies against the
+    batch's stored delta files; after compaction the window closes
+    (None), it never returns a false True."""
+    table_path = str(tmp_path / "target")
+    _run(spark, log_path, table_path)
+    table = LakehouseTable.load(spark, table_path)
+    for m in table._snap["manifests"]:
+        assert table.verify_batch(m["job_id"], m["batch_id"]) is True
+    table.compact()
+    table.vacuum()
+    results = {
+        table.verify_batch(m["job_id"], m["batch_id"])
+        for m in table._snap["manifests"]
+    }
+    assert results <= {None, True}
+    assert table.verify_batch("nope", 0) is False
+
+
 def test_purge_tombstones(spark, log_path, expected, tmp_path):
     """purge_tombstones drops only tombstones at/below the horizon and
     leaves the live table untouched."""
