@@ -1,0 +1,61 @@
+"""Lakehouse-level tests: optimistic-concurrency conflict, compaction
+invariants, vacuum safety."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_spark.lakehouse import LakehouseTable
+from dlt_spark.operators.dedup import dedup_lww
+from dlt_spark.schemas import CHANGE_EVENT_SCHEMA
+from dlt_spark.sources.generator import generate_change_log
+
+
+def _updates(spark, lo, hi, seed=5):
+    df = generate_change_log(spark, 2_000, n_keys=200, seed=seed).where(
+        F.col("commit_seq").between(lo, hi)
+    )
+    from dlt_spark.functions.normalize import normalize_events
+
+    return dedup_lww(normalize_events(df), with_counts=True)
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    """Two writers race the same snapshot version: exactly one wins the
+    create-exclusive publish; the loser gets a conflict error and can
+    retry against the new snapshot."""
+    path = str(tmp_path / "t")
+    a = LakehouseTable.create(spark, path, n_buckets=8)
+    b = LakehouseTable.load(spark, path)  # second handle, same version
+
+    pa = a.prepare_delta(_updates(spark, 0, 499), "jobA", 0)
+    pb = b.prepare_delta(_updates(spark, 500, 999), "jobB", 0)
+
+    a.commit_delta(pa, "jobA", 0, 0, 499)
+    with pytest.raises(RuntimeError, match="snapshot conflict"):
+        b.commit_delta(pb, "jobB", 0, 500, 999)
+
+    # loser refreshes and retries — both commits land, no data lost
+    b = b.refresh()
+    b.commit_delta(pb, "jobB", 0, 500, 999)
+    t = LakehouseTable.load(spark, path)
+    assert t.version == 2
+    assert t.is_applied("jobA", 0) and t.is_applied("jobB", 0)
+
+
+def test_compaction_preserves_state_and_prunes_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = LakehouseTable.create(spark, path, n_buckets=8, max_deltas=100)
+    for i in range(3):
+        u = _updates(spark, i * 600, i * 600 + 599)
+        t.merge(u, "j", i, i * 600, i * 600 + 599)
+    before = t.read(include_deleted=True).orderBy("doc_id").collect()
+    assert t._snap["deltas"]  # uncompacted
+    t.compact()
+    assert not t._snap["deltas"]
+    after = t.read(include_deleted=True).orderBy("doc_id").collect()
+    assert before == after
+    removed = t.vacuum()
+    assert removed > 0  # superseded delta files cleaned
+    assert t.read(include_deleted=True).orderBy("doc_id").collect() == after

@@ -44,6 +44,52 @@ def test_stream_sync_converges(spark, stream_log, tmp_path):
     assert len(table._snap["manifests"]) > 1  # really ran multiple epochs
 
 
+def test_stateful_running_lww(spark, stream_log, tmp_path):
+    """applyInPandasWithState running-winner stream: the last emitted
+    update per key equals the batch LWW fold."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from dlt_spark.schemas import CHANGE_EVENT_SCHEMA
+    from dlt_spark.streaming.stateful import running_lww_winners
+
+    schema = StructType(
+        list(CHANGE_EVENT_SCHEMA.fields) + [StructField("seq_part", LongType())]
+    )
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(stream_log)
+        .drop("seq_part")
+    )
+    q = (
+        running_lww_winners(events)
+        .writeStream.format("memory")
+        .queryName("winners")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {}
+    for r in spark.sql("SELECT * FROM winners").collect():
+        cur = got.get(r["doc_id"])
+        cand = (r["commit_seq"], r["op_rank"])
+        if cur is None or cand > cur:
+            got[r["doc_id"]] = cand
+
+    rank = {"I": 1, "U": 2, "D": 3}
+    exp = {}
+    for r in spark.read.parquet(stream_log).select(
+        "doc_id", "op", "commit_seq"
+    ).collect():
+        cand = (r["commit_seq"], rank[r["op"]])
+        if r["doc_id"] not in exp or cand > exp[r["doc_id"]]:
+            exp[r["doc_id"]] = cand
+    assert got == exp
+
+
 def test_stream_sync_restart_noop(spark, stream_log, tmp_path):
     """Second AvailableNow run over the same checkpoint: nothing new to
     consume, table version unchanged."""
