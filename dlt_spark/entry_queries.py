@@ -404,6 +404,24 @@ def q_emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2: IVF — 8 fixed centroid cells, nprobe=2."""
+    from dlt_spark.functions.similarity import ivf_topk
+
+    _views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    out = ivf_topk(
+        emb.where(F.col("vec_id") < 5),
+        emb.where(F.col("vec_id") >= 13),
+        centroids=emb.where(F.col("vec_id").between(5, 12)),
+        k=5,
+        nprobe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rnk", F.round("sim", 5).alias("sim_r")
+    )
+
+
 def q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets."""
     from dlt_spark.functions.similarity import near_dup_pairs_cosine
@@ -529,6 +547,7 @@ QUERIES = {
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
+    "emb_ann_ivf_topk": q_emb_ann_ivf_topk,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "multimodal_features": q_multimodal_features,
     "emb_norm_stats": q_emb_norm_stats,
@@ -719,6 +738,47 @@ pairs AS (
                      (a, b) -> a + b) / (q.nrm * c.nrm) AS sim
   FROM sig q JOIN sig c ON q.b = c.b
   WHERE q.vec_id < 5 AND c.vec_id >= 5),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs)
+SELECT query_id, neighbor_id, cast(rnk AS bigint) AS rnk, round(sim, 5) AS sim_r
+FROM ranked WHERE rnk <= 5
+"""
+
+_DK_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+
+_ORACLES["emb_ann_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+      FROM e),
+cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM n
+         WHERE vec_id BETWEEN 5 AND 12),
+corp_assign AS (
+  SELECT neighbor_id, c, cn2, cell FROM (
+    SELECT x.vec_id AS neighbor_id, x.v AS c, x.nrm AS cn2, cent.cell,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY {_DK_DOT.format(a='x.v', b='cent.cv')} / (x.nrm * cent.cn) DESC,
+                        cent.cell) AS crk
+    FROM n x, cent WHERE x.vec_id >= 13)
+  WHERE crk = 1),
+qry_assign AS (
+  SELECT query_id, q, qn, cell FROM (
+    SELECT x.vec_id AS query_id, x.v AS q, x.nrm AS qn, cent.cell,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY {_DK_DOT.format(a='x.v', b='cent.cv')} / (x.nrm * cent.cn) DESC,
+                        cent.cell) AS crk
+    FROM n x, cent WHERE x.vec_id < 5)
+  WHERE crk <= 2),
+pairs AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         {_DK_DOT.format(a='q', b='c')} / (qn * cn2) AS sim
+  FROM qry_assign JOIN corp_assign USING (cell)),
 ranked AS (
   SELECT query_id, neighbor_id, sim,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk

@@ -150,6 +150,68 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus vectors are assigned to their
+    nearest centroid's cell; a query probes its ``nprobe`` closest cells
+    and ranks exactly within the candidates.
+
+    Plan shape at scale: centroid assignment is a broadcast join against
+    the (small) centroid set; the candidate join is an equi-join on
+    ``cell`` — hash-partitioned, never a cross product.  Cell recall is
+    tunable via nprobe.  Centroid *training* (k-means) is orthogonal —
+    any deterministic centroid set works; callers supply it (tests use a
+    fixed corpus sample, production would use a sampled k-means fit).
+    """
+    from pyspark.sql import Window
+
+    c_named = centroids.select(
+        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+
+    def assign(df: DataFrame, name: str, top: int) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(name), _as_double(F.col(vec_col)).alias("v")
+        ).withColumn("vn", l2_norm(F.col("v")))
+        sims = v.join(F.broadcast(c_named)).select(
+            name, "v", "vn", "cell",
+            (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("csim"),
+        )
+        w = Window.partitionBy(name).orderBy(F.col("csim").desc(), F.col("cell"))
+        return (
+            sims.withColumn("crk", F.row_number().over(w))
+            .where(F.col("crk") <= top)
+            .drop("csim", "crk")
+        )
+
+    corp = assign(corpus, "neighbor_id", 1)
+    qrys = assign(queries, "query_id", nprobe)
+
+    pairs = qrys.join(
+        corp.select("neighbor_id", F.col("v").alias("c"), F.col("vn").alias("cn2"), "cell"),
+        "cell",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("v"), F.col("c")) / (F.col("vn") * F.col("cn2"))).alias("sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"), "sim")
+    )
+
+
 def near_dup_pairs_cosine(
     df: DataFrame,
     threshold: float = 0.9,
