@@ -104,12 +104,21 @@ class LakehouseTable:
         snap = {
             "version": 0,
             "n_buckets": n_buckets,
-            "max_deltas": max_deltas,
-            # bucket(str) -> [rel paths] — resolved, bucket-pure base files
+            "max_deltas": max_deltas,  # L0 commit cap (and L1 per-bucket cap)
+            # Leveled layout (LSM-style; Iceberg analog: data files +
+            # positional deltas + rewrite_data_files):
+            #   L0 "deltas":  [[rel paths], …] — one entry per ingest
+            #     commit, UNBUCKETED (written straight out of the dedup
+            #     shuffle: zero extra shuffle on the hot path)
+            #   L1 "l1":      bucket(str) → [rel paths] — bucket-pure,
+            #     resolved folds of L0 (cost O(L0) every max_deltas
+            #     commits, independent of table size)
+            #   base "buckets": bucket(str) → [rel paths] — bucket-pure,
+            #     fully resolved; rebuilt bucket-locally when a bucket's
+            #     L1 count hits its (staggered) cap — cost O(bucket),
+            #     never O(table)
             "buckets": {},
-            # [[rel paths], ...] — one entry per uncompacted delta commit;
-            # delta files are NOT bucketed (written straight out of the
-            # dedup shuffle: zero extra shuffle on the ingest hot path)
+            "l1": {},
             "deltas": [],
             "applied": [],  # ["job_id::batch_id", ...]
             "manifests": [],  # rows per MANIFEST_SCHEMA
@@ -187,19 +196,25 @@ class LakehouseTable:
         winner = F.max_by(F.struct(*[F.col(c) for c in cols]), ordering).alias("w")
         return df.groupBy("doc_id").agg(winner).select("w.*")
 
+    @property
+    def _l1(self) -> dict:
+        return self._snap.get("l1", {})
+
     def read(self, buckets=None, include_deleted: bool = False) -> DataFrame:
         """Current table state (optionally restricted to buckets).
-        Resolves base+delta rows per key; tombstones filtered unless
-        ``include_deleted``.  Bucket restriction prunes base files by
-        path and delta rows by predicate (deltas are unbucketed)."""
+        Resolves base+L1+L0 rows per key; tombstones filtered unless
+        ``include_deleted``.  Bucket restriction prunes base/L1 files by
+        path and L0 rows by predicate (L0 is unbucketed)."""
         bm = self._snap["buckets"]
         keys = bm.keys() if buckets is None else [str(b) for b in buckets]
         base = [p for k in keys for p in bm.get(k, [])]
-        deltas = [p for ps in self._snap["deltas"] for p in ps]
-        df = self._raw(self._abs(base + deltas))
-        if buckets is not None and deltas:
+        l1_keys = self._l1.keys() if buckets is None else [str(b) for b in buckets]
+        l1 = [p for k in l1_keys for p in self._l1.get(k, [])]
+        l0 = [p for ps in self._snap["deltas"] for p in ps]
+        df = self._raw(self._abs(base + l1 + l0))
+        if buckets is not None and l0:
             df = df.where(F.col("_bucket").isin([int(b) for b in buckets]))
-        if deltas:  # base alone is already one-row-per-key
+        if l0 or l1:  # base alone is already one-row-per-key
             df = self._resolve(df)
         if not include_deleted:
             df = df.where(~F.col("_deleted"))
@@ -356,10 +371,29 @@ class LakehouseTable:
             )
 
         buckets_map = dict(self._snap["buckets"])
+        l1_map = {k: list(v) for k, v in self._l1.items()}
         deltas = self._snap["deltas"] + [prepared["files"]]
+
         if len(deltas) >= self.max_deltas:
-            buckets_map = self._compact_all(buckets_map, deltas)
+            # L0 → L1 fold: resolve + bucket the pending commits.  Cost
+            # O(sum of L0) = O(max_deltas batches), independent of table
+            # size.
+            for b, ps in self._fold_l0(deltas).items():
+                l1_map.setdefault(b, []).extend(ps)
             deltas = []
+            # Bucket-local major compaction: rebuild base for buckets
+            # whose L1 count hits a per-bucket STAGGERED cap (b % 4
+            # jitter spreads majors over fold points instead of one
+            # global O(table) spike).  Cost O(selected buckets).
+            over = [
+                b for b, ps in l1_map.items()
+                if len(ps) >= self.max_deltas + (int(b) % 4)
+            ]
+            if over:
+                for b, ps in self._major_compact(buckets_map, l1_map, over).items():
+                    buckets_map[b] = ps
+                for b in over:
+                    l1_map[b] = []
 
         manifest = {
             "job_id": job_id,
@@ -376,7 +410,7 @@ class LakehouseTable:
             "data_hash": int(stats["dh"] or 0),
             "delta_files": prepared["files"],
         }
-        self._commit(buckets_map, deltas, manifest)
+        self._commit(buckets_map, l1_map, deltas, manifest)
         return manifest
 
     def verify_batch(self, job_id: str, batch_id: int) -> bool | None:
@@ -416,23 +450,38 @@ class LakehouseTable:
             self.spark.conf.get("spark.sql.shuffle.partitions", "32")
         ))
 
-    def _compact_all(self, buckets_map: dict, deltas: list) -> dict[str, list[str]]:
-        """Fold all bases + pending deltas into fresh resolved,
-        bucket-pure base files.  Copy-on-write amortized to every
-        ``max_deltas``-th batch (Iceberg rewrite_data_files analog):
-        amortized per-batch compaction cost = table_size / max_deltas."""
-        paths = [p for ps in buckets_map.values() for p in ps]
-        paths += [p for ps in deltas for p in ps]
-        resolved = self._resolve(self._raw(self._abs(paths)))
-        commit_abs = os.path.join(self.path, _DATA_DIR, f"base-{uuid.uuid4().hex}")
+    def _write_bucketed(self, df: DataFrame, prefix: str) -> dict[str, list[str]]:
+        commit_abs = os.path.join(self.path, _DATA_DIR, f"{prefix}-{uuid.uuid4().hex}")
         (
-            resolved.repartition(self._write_partitions(), "_bucket")
+            df.repartition(self._write_partitions(), "_bucket")
             .write.mode("overwrite")
             .option("parquet.enable.dictionary", "false")
             .partitionBy("_bucket")
             .parquet(commit_abs)
         )
         return _list_bucket_files(commit_abs, self.path)
+
+    def _fold_l0(self, deltas: list) -> dict[str, list[str]]:
+        """L0 → L1: resolve the pending unbucketed commits among
+        themselves and write them bucket-pure.  O(L0 volume)."""
+        paths = [p for ps in deltas for p in ps]
+        resolved = self._resolve(self._raw(self._abs(paths)))
+        return self._write_bucketed(resolved, "l1")
+
+    def _major_compact(
+        self, buckets_map: dict, l1_map: dict, buckets: list[str]
+    ) -> dict[str, list[str]]:
+        """Bucket-local major compaction: fold base+L1 of ONLY the given
+        buckets into fresh bases.  O(selected buckets), never O(table).
+        Caller must have folded L0 first (L0 rows are unbucketed and
+        could otherwise supersede rows of these buckets)."""
+        paths = [p for b in buckets for p in buckets_map.get(b, [])]
+        paths += [p for b in buckets for p in l1_map.get(b, [])]
+        resolved = self._resolve(self._raw(self._abs(paths)))
+        out = self._write_bucketed(resolved, "base")
+        for b in buckets:  # a bucket may resolve to nothing (post-purge)
+            out.setdefault(b, [])
+        return out
 
     def _commit_noop(self, job_id, batch_id, seq_from, seq_to, events_read) -> dict:
         manifest = {
@@ -450,15 +499,21 @@ class LakehouseTable:
             "data_hash": None,
             "delta_files": None,
         }
-        self._commit(dict(self._snap["buckets"]), list(self._snap["deltas"]), manifest)
+        self._commit(
+            dict(self._snap["buckets"]),
+            {k: list(v) for k, v in self._l1.items()},
+            list(self._snap["deltas"]),
+            manifest,
+        )
         return manifest
 
-    def _commit(self, buckets_map: dict, deltas: list, manifest: dict) -> None:
+    def _commit(self, buckets_map: dict, l1_map: dict, deltas: list, manifest: dict) -> None:
         new_snap = {
             "version": self.version + 1,
             "n_buckets": self.n_buckets,
             "max_deltas": self.max_deltas,
             "buckets": buckets_map,
+            "l1": l1_map,
             "deltas": deltas,
             "applied": sorted(
                 set(self._snap["applied"])
@@ -474,12 +529,22 @@ class LakehouseTable:
     # maintenance
     # ------------------------------------------------------------------
     def compact(self) -> None:
-        """Fold all pending deltas into bucket-pure base files."""
-        if not self._snap["deltas"]:
+        """Full maintenance compaction: fold L0+L1+base into fresh
+        bucket-pure bases (the explicit, all-at-once form of what the
+        ingest path does incrementally)."""
+        if not self._snap["deltas"] and not any(self._l1.values()):
             return
-        buckets_map = self._compact_all(self._snap["buckets"], self._snap["deltas"])
+        paths = [p for ps in self._snap["buckets"].values() for p in ps]
+        paths += [p for ps in self._l1.values() for p in ps]
+        paths += [p for ps in self._snap["deltas"] for p in ps]
+        resolved = self._resolve(self._raw(self._abs(paths)))
+        buckets_map = self._write_bucketed(resolved, "base")
         new_snap = dict(
-            self._snap, version=self.version + 1, buckets=buckets_map, deltas=[]
+            self._snap,
+            version=self.version + 1,
+            buckets=buckets_map,
+            l1={},
+            deltas=[],
         )
         _commit_snapshot(os.path.join(self.path, _SNAP_DIR), new_snap)
         self._snap = new_snap
@@ -498,18 +563,11 @@ class LakehouseTable:
         if n_purged == 0:
             return 0
         kept = all_rows.where(~purge)
-        commit_abs = os.path.join(self.path, _DATA_DIR, f"base-{uuid.uuid4().hex}")
-        (
-            kept.repartition(self._write_partitions(), "_bucket")
-            .write.mode("overwrite")
-            .option("parquet.enable.dictionary", "false")
-            .partitionBy("_bucket")
-            .parquet(commit_abs)
-        )
         new_snap = dict(
             self._snap,
             version=self.version + 1,
-            buckets=_list_bucket_files(commit_abs, self.path),
+            buckets=self._write_bucketed(kept, "base"),
+            l1={},
             deltas=[],
         )
         _commit_snapshot(os.path.join(self.path, _SNAP_DIR), new_snap)
@@ -521,7 +579,11 @@ class LakehouseTable:
         (orphans from crashed commits / superseded compactions)."""
         live = {
             os.path.join(self.path, rel)
-            for ps in list(self._snap["buckets"].values()) + self._snap["deltas"]
+            for ps in (
+                list(self._snap["buckets"].values())
+                + list(self._l1.values())
+                + self._snap["deltas"]
+            )
             for rel in ps
         }
         removed = 0
