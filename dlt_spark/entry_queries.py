@@ -272,6 +272,21 @@ def q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data pipeline ops (documents / embeddings)
 # ---------------------------------------------------------------------------
 
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the driver's events stream table
+    (the batch form of the streaming windowed agg; SURVEY §2.9)."""
+    _views(spark, sf_dir, "events")
+    return spark.sql("""
+        SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:00') AS hour,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """)
+
+
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text)."""
     _views(spark, sf_dir, "documents")
@@ -540,6 +555,7 @@ QUERIES = {
     "cdc_normalize_versions": q_cdc_normalize_versions,
     "cdc_explode_provenance": q_cdc_explode_provenance,
     "cdc_hot_keys": q_cdc_hot_keys,
+    "events_hourly_rollup": q_events_hourly_rollup,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_minhash_sig": q_docs_minhash_sig,
     "docs_minhash_lsh_pairs": q_docs_minhash_lsh_pairs,
@@ -622,6 +638,16 @@ FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
 _ORACLES["cdc_hot_keys"] = f"""
 SELECT doc_id, count(*) AS n FROM ({_EVENTS_DK})
 GROUP BY doc_id ORDER BY n DESC, doc_id LIMIT 10
+"""
+
+_ORACLES["events_hourly_rollup"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
 """
 
 _ORACLES["docs_exact_dedup"] = """

@@ -90,6 +90,56 @@ def test_stateful_running_lww(spark, stream_log, tmp_path):
     assert got == exp
 
 
+def test_windowed_rollup_stream_matches_batch(spark, tmp_path):
+    """Event-time tumbling windows over the driver's events table:
+    the streaming rollup (availableNow) equals the batch groupBy."""
+    from dlt_spark.streaming.windows import hourly_rollup_stream
+
+    import shutil
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    batch = spark.read.parquet(src)
+    # file-stream sources need a directory
+    stream_dir = tmp_path / "events_dir"
+    stream_dir.mkdir()
+    shutil.copy(src, stream_dir / "events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(str(stream_dir))
+    q = (
+        hourly_rollup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("rollup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM rollup").collect()
+    }
+    from pyspark.sql import functions as F
+
+    exp_df = (
+        batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+    )
+    exp = {
+        (str(r["ws"]), r["event_type"]): (r["n"], r["s"])
+        for r in exp_df.collect()
+    }
+    # append mode only emits windows closed by the final watermark; all
+    # emitted windows must match the batch result exactly, and most
+    # windows must have been emitted
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
+    assert len(got) >= len(exp) - 24  # tail windows may stay open
+
+
 def test_stream_sync_restart_noop(spark, stream_log, tmp_path):
     """Second AvailableNow run over the same checkpoint: nothing new to
     consume, table version unchanged."""
