@@ -27,7 +27,7 @@ from dlt_spark.functions.normalize import normalize_events
 from dlt_spark.lakehouse import LakehouseTable
 from dlt_spark.operators.dedup import dedup_lww
 from dlt_spark.operators.salt import salted_repartition
-from dlt_spark.sources.changelog import read_change_log_range
+from dlt_spark.sources.changelog import open_change_log, slice_change_log
 
 
 @dataclass
@@ -90,6 +90,7 @@ def run_incremental(
       the resume test (SURVEY §5).
     """
     table = LakehouseTable.create(spark, table_path, n_buckets=n_buckets)
+    log_df = open_change_log(spark, log_path)
 
     if seq_from is None:
         seq_from = table.watermark() + 1 if not force else 0
@@ -97,7 +98,7 @@ def run_incremental(
         # End of log: one metadata-cheap max() over the pruned tail.
         from pyspark.sql import functions as F
 
-        tail = spark.read.parquet(log_path)
+        tail = log_df
         if not force:
             tail = tail.where(F.col("commit_seq") >= seq_from)
         row = tail.agg(F.max("commit_seq").alias("m")).collect()[0]
@@ -129,7 +130,7 @@ def run_incremental(
         raise last  # type: ignore[misc]
 
     def _prepare_once(batch_id: int, lo: int, hi: int) -> dict:
-        events = read_change_log_range(spark, log_path, lo, hi, log_part_width)
+        events = slice_change_log(log_df, lo, hi, log_part_width)
         normalized = normalize_events(events, use_arrow_udf=use_arrow_udf)
         # Salting is OFF by default: the LWW dedup is a hash aggregate
         # with map-side partial aggregation, which already collapses a

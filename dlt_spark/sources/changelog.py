@@ -40,6 +40,28 @@ def write_change_log(
     )
 
 
+def open_change_log(spark: SparkSession, path: str) -> DataFrame:
+    """Open the log once per run: the returned DataFrame caches its file
+    index, so per-batch range slices skip re-listing the dataset."""
+    return spark.read.schema(_LOG_SCHEMA).parquet(path)
+
+
+def slice_change_log(
+    log_df: DataFrame, seq_from: int, seq_to: int, part_width: int = DEFAULT_PART_WIDTH
+) -> DataFrame:
+    """Slice ``seq_from <= commit_seq <= seq_to`` (inclusive).
+
+    The ``seq_part`` predicate is derivable from the commit_seq range but
+    stated explicitly so pruning never depends on an optimizer rewrite.
+    """
+    lo_part, hi_part = seq_from // part_width, seq_to // part_width
+    return log_df.where(
+        (F.col("seq_part") >= lo_part)
+        & (F.col("seq_part") <= hi_part)
+        & F.col("commit_seq").between(seq_from, seq_to)
+    ).drop("seq_part")
+
+
 def read_change_log_range(
     spark: SparkSession,
     path: str,
@@ -47,15 +69,7 @@ def read_change_log_range(
     seq_to: int,
     part_width: int = DEFAULT_PART_WIDTH,
 ) -> DataFrame:
-    """Scan events with ``seq_from <= commit_seq <= seq_to`` (inclusive).
-
-    The ``seq_part`` predicate is derivable from the commit_seq range but
-    stated explicitly so pruning never depends on an optimizer rewrite.
-    """
-    df = spark.read.schema(_LOG_SCHEMA).parquet(path)
-    lo_part, hi_part = seq_from // part_width, seq_to // part_width
-    return df.where(
-        (F.col("seq_part") >= lo_part)
-        & (F.col("seq_part") <= hi_part)
-        & F.col("commit_seq").between(seq_from, seq_to)
-    ).drop("seq_part")
+    """One-shot form of open + slice."""
+    return slice_change_log(
+        open_change_log(spark, path), seq_from, seq_to, part_width
+    )
