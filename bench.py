@@ -40,7 +40,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = _sf_of(sf_dir)
-    n_events = int(os.environ.get("BENCH_EVENTS", str(int(15_000_000 * sf))))
+    n_events = int(os.environ.get("BENCH_EVENTS", str(int(30_000_000 * sf))))
     batch_count = int(os.environ.get("BENCH_BATCHES", "8"))
     use_arrow = os.environ.get("BENCH_ARROW_UDF", "0") == "1"
 
