@@ -73,6 +73,20 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", required=True)
     v.add_argument("--master", default=None)
 
+    c = sub.add_parser("compact", help="fold L0+L1 into bucket-pure bases")
+    c.add_argument("--table", required=True)
+    c.add_argument("--master", default=None)
+
+    pt = sub.add_parser("purge", help="drop tombstones at/below a horizon")
+    pt.add_argument("--table", required=True)
+    pt.add_argument("--horizon-seq", type=int, required=True)
+    pt.add_argument("--master", default=None)
+
+    vb = sub.add_parser("verify", help="re-verify batch content hashes")
+    vb.add_argument("--table", required=True)
+    vb.add_argument("--job-id", default="dlt")
+    vb.add_argument("--master", default=None)
+
     args = ap.parse_args(argv)
 
     from dlt_spark.session import get_spark
@@ -159,6 +173,43 @@ def main(argv: list[str] | None = None) -> int:
         t = LakehouseTable.load(spark, args.table)
         print(json.dumps({"removed_files": t.vacuum()}))
         return 0
+
+    if args.cmd == "compact":
+        from dlt_spark.lakehouse import LakehouseTable
+
+        t = LakehouseTable.load(spark, args.table)
+        v0 = t.version
+        t.compact()
+        print(json.dumps({"compacted": t.version > v0, "version": t.version}))
+        return 0
+
+    if args.cmd == "purge":
+        from dlt_spark.lakehouse import LakehouseTable
+
+        t = LakehouseTable.load(spark, args.table)
+        n = t.purge_tombstones(args.horizon_seq)
+        print(json.dumps({"tombstones_purged": n, "version": t.version}))
+        return 0
+
+    if args.cmd == "verify":
+        from dlt_spark.lakehouse import LakehouseTable
+
+        t = LakehouseTable.load(spark, args.table)
+        results = {"ok": 0, "failed": 0, "window_closed": 0}
+        bad = []
+        for m in t._snap["manifests"]:
+            if m["job_id"] != args.job_id:
+                continue
+            r = t.verify_batch(m["job_id"], m["batch_id"])
+            if r is True:
+                results["ok"] += 1
+            elif r is None:
+                results["window_closed"] += 1
+            else:
+                results["failed"] += 1
+                bad.append(m["batch_id"])
+        print(json.dumps({**results, "failed_batches": bad}))
+        return 0 if not bad else 2
 
     return 1
 
