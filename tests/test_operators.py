@@ -127,6 +127,20 @@ def test_salted_repartition_preserves_rows_and_is_deterministic(spark):
 
 
 # ---------------------------------------------------------------------------
+# generator determinism (the whole test/bench harness rests on this)
+# ---------------------------------------------------------------------------
+
+def test_generator_parallelism_invariant(spark):
+    from dlt_spark.sources.generator import generate_change_log
+
+    a = generate_change_log(spark, 1_000, n_keys=50, seed=13, num_partitions=2)
+    b = generate_change_log(spark, 1_000, n_keys=50, seed=13, num_partitions=16)
+    ra = sorted(map(str, a.collect()))
+    rb = sorted(map(str, b.collect()))
+    assert ra == rb
+
+
+# ---------------------------------------------------------------------------
 # E2: deterministic row ids
 # ---------------------------------------------------------------------------
 
