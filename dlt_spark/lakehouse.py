@@ -69,11 +69,28 @@ def _bucket_col(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
-def _read_schema(extra_n_events: bool = False) -> StructType:
+def _read_schema(
+    extra_n_events: bool = False, extras: list | None = None
+) -> StructType:
+    """Physical read schema: core TARGET columns + evolved extras
+    (+ the delta-only _n_events).  Files written before a column was
+    added simply lack it — Spark backfills nulls, which IS the
+    evolution semantics (Iceberg add-column analog)."""
+    from pyspark.sql.types import _parse_datatype_string
+
     fields = list(TARGET_SCHEMA.fields)
+    for name, ddl in extras or []:
+        fields.append(StructField(name, _parse_datatype_string(ddl), True))
     if extra_n_events:
         fields.append(StructField("_n_events", LongType(), True))
     return StructType(fields)
+
+
+# columns of the change-event envelope that are NOT value payload
+_NON_VALUE_EVENT_COLS = {
+    "doc_id", "op", "tokens", "n_tok", "source", "commit_seq",
+    "payload", "payload_version", "extracted_at", "_n_events",
+}
 
 
 class LakehouseTable:
@@ -120,6 +137,10 @@ class LakehouseTable:
             "buckets": {},
             "l1": {},
             "deltas": [],
+            # evolved value columns beyond TARGET_SCHEMA: [[name, ddl], …]
+            # (Iceberg schema-evolution analog: add-column only; a type
+            # conflict on an existing column is rejected at merge time)
+            "extra_columns": [],
             "applied": [],  # ["job_id::batch_id", ...]
             "manifests": [],  # rows per MANIFEST_SCHEMA
             "watermark": -1,  # highest seq_to applied
@@ -166,15 +187,24 @@ class LakehouseTable:
     def _abs(self, rels: list[str]) -> list[str]:
         return [os.path.join(self.path, r) for r in rels]
 
-    def _raw(self, files: list[str]) -> DataFrame:
+    @property
+    def extra_columns(self) -> list:
+        return [tuple(e) for e in self._snap.get("extra_columns", [])]
+
+    def _raw(self, files: list[str], extras: list | None = None) -> DataFrame:
         """Read data files with the physical schema (delta files carry an
-        extra _n_events column; base files don't — permissive schema)."""
+        extra _n_events column; base files don't — permissive schema;
+        files older than an evolved column backfill nulls)."""
+        if extras is None:
+            extras = self.extra_columns
         if not files:
-            schema = _read_schema().add("_bucket", IntegerType(), False)
+            schema = _read_schema(extras=extras).add(
+                "_bucket", IntegerType(), False
+            )
             return self.spark.createDataFrame([], schema)
-        cols = [f.name for f in TARGET_SCHEMA.fields]
+        cols = [f.name for f in TARGET_SCHEMA.fields] + [n for n, _ in extras]
         return (
-            self.spark.read.schema(_read_schema(extra_n_events=True))
+            self.spark.read.schema(_read_schema(extra_n_events=True, extras=extras))
             .parquet(*files)
             .select(*cols)
             .withColumn("_bucket", _bucket_col("doc_id", self.n_buckets))
@@ -275,11 +305,20 @@ class LakehouseTable:
         the snapshot — safe to run concurrently for different batches."""
         has_counts = "_n_events" in updates.columns
         is_del = F.col("op") == "D"
+        # schema evolution: any update column outside the change-event
+        # envelope is a new/evolved value column — carried through the
+        # delta and registered in the snapshot at commit
+        extras = [
+            (f.name, f.dataType.simpleString())
+            for f in updates.schema.fields
+            if f.name not in _NON_VALUE_EVENT_COLS
+        ]
         rows = updates.select(
             "doc_id",
             F.when(~is_del, F.col("tokens")).alias("tokens"),
             F.when(~is_del, F.col("n_tok")).cast("int").alias("n_tok"),
             F.when(~is_del, F.col("source")).alias("source"),
+            *[F.when(~is_del, F.col(n)).alias(n) for n, _ in extras],
             F.col("commit_seq").cast("long").alias("_commit_seq"),
             # Deterministic surrogate key (SURVEY §2.3 E2 — replaces the
             # reference's uuid.New at schema/base.go:28).
@@ -330,11 +369,13 @@ class LakehouseTable:
         )
         new_files = _list_parquet_files(commit_abs, self.path)
         if not new_files:
-            return {"files": [], "stats": None, "has_counts": has_counts}
+            return {"files": [], "stats": None, "has_counts": has_counts,
+                    "extras": extras}
         stats = dict(obs.get)
         if not has_counts:
             stats["ne"] = None
-        return {"files": new_files, "stats": stats, "has_counts": has_counts}
+        return {"files": new_files, "stats": stats, "has_counts": has_counts,
+                "extras": extras}
 
     def commit_delta(
         self,
@@ -370,15 +411,30 @@ class LakehouseTable:
                 else stats["n"]
             )
 
+        # register evolved columns (add-only; type conflicts rejected)
+        extra_cols = [list(e) for e in self._snap.get("extra_columns", [])]
+        known = {n: d for n, d in extra_cols}
+        for n, d in prepared.get("extras", []):
+            if n in known:
+                if known[n] != d:
+                    raise ValueError(
+                        f"schema evolution conflict on column {n!r}: "
+                        f"table has {known[n]}, batch has {d}"
+                    )
+            else:
+                extra_cols.append([n, d])
+                known[n] = d
+
         buckets_map = dict(self._snap["buckets"])
         l1_map = {k: list(v) for k, v in self._l1.items()}
         deltas = self._snap["deltas"] + [prepared["files"]]
 
+        new_extras = [tuple(e) for e in extra_cols]
         if len(deltas) >= self.max_deltas:
             # L0 → L1 fold: resolve + bucket the pending commits.  Cost
             # O(sum of L0) = O(max_deltas batches), independent of table
             # size.
-            for b, ps in self._fold_l0(deltas).items():
+            for b, ps in self._fold_l0(deltas, extras=new_extras).items():
                 l1_map.setdefault(b, []).extend(ps)
             deltas = []
             # Bucket-local major compaction: rebuild base for buckets
@@ -390,7 +446,10 @@ class LakehouseTable:
                 if len(ps) >= self.max_deltas + (int(b) % 4)
             ]
             if over:
-                for b, ps in self._major_compact(buckets_map, l1_map, over).items():
+                compacted = self._major_compact(
+                    buckets_map, l1_map, over, extras=new_extras
+                )
+                for b, ps in compacted.items():
                     buckets_map[b] = ps
                 for b in over:
                     l1_map[b] = []
@@ -410,7 +469,7 @@ class LakehouseTable:
             "data_hash": int(stats["dh"] or 0),
             "delta_files": prepared["files"],
         }
-        self._commit(buckets_map, l1_map, deltas, manifest)
+        self._commit(buckets_map, l1_map, deltas, manifest, extra_cols)
         return manifest
 
     def verify_batch(self, job_id: str, batch_id: int) -> bool | None:
@@ -461,15 +520,16 @@ class LakehouseTable:
         )
         return _list_bucket_files(commit_abs, self.path)
 
-    def _fold_l0(self, deltas: list) -> dict[str, list[str]]:
+    def _fold_l0(self, deltas: list, extras: list | None = None) -> dict[str, list[str]]:
         """L0 → L1: resolve the pending unbucketed commits among
         themselves and write them bucket-pure.  O(L0 volume)."""
         paths = [p for ps in deltas for p in ps]
-        resolved = self._resolve(self._raw(self._abs(paths)))
+        resolved = self._resolve(self._raw(self._abs(paths), extras=extras))
         return self._write_bucketed(resolved, "l1")
 
     def _major_compact(
-        self, buckets_map: dict, l1_map: dict, buckets: list[str]
+        self, buckets_map: dict, l1_map: dict, buckets: list[str],
+        extras: list | None = None,
     ) -> dict[str, list[str]]:
         """Bucket-local major compaction: fold base+L1 of ONLY the given
         buckets into fresh bases.  O(selected buckets), never O(table).
@@ -477,7 +537,7 @@ class LakehouseTable:
         could otherwise supersede rows of these buckets)."""
         paths = [p for b in buckets for p in buckets_map.get(b, [])]
         paths += [p for b in buckets for p in l1_map.get(b, [])]
-        resolved = self._resolve(self._raw(self._abs(paths)))
+        resolved = self._resolve(self._raw(self._abs(paths), extras=extras))
         out = self._write_bucketed(resolved, "base")
         for b in buckets:  # a bucket may resolve to nothing (post-purge)
             out.setdefault(b, [])
@@ -507,7 +567,14 @@ class LakehouseTable:
         )
         return manifest
 
-    def _commit(self, buckets_map: dict, l1_map: dict, deltas: list, manifest: dict) -> None:
+    def _commit(
+        self,
+        buckets_map: dict,
+        l1_map: dict,
+        deltas: list,
+        manifest: dict,
+        extra_columns: list | None = None,
+    ) -> None:
         new_snap = {
             "version": self.version + 1,
             "n_buckets": self.n_buckets,
@@ -515,6 +582,11 @@ class LakehouseTable:
             "buckets": buckets_map,
             "l1": l1_map,
             "deltas": deltas,
+            "extra_columns": (
+                extra_columns
+                if extra_columns is not None
+                else self._snap.get("extra_columns", [])
+            ),
             "applied": sorted(
                 set(self._snap["applied"])
                 | {f"{manifest['job_id']}::{manifest['batch_id']}"}

@@ -15,6 +15,57 @@ from dlt_spark.sources.generator import generate_change_log
 from tests.oracle import assert_table_matches, fold_expected_state
 
 
+def test_table_level_column_evolution(spark, tmp_path):
+    """Table-layer schema evolution (Iceberg add-column analog): a later
+    batch introduces a new value column; earlier rows backfill null;
+    LWW carries the winner's value; type conflicts are rejected."""
+    import pytest
+    from pyspark.sql import Row
+
+    from dlt_spark.schemas import CHANGE_EVENT_SCHEMA
+
+    t = LakehouseTable.create(spark, str(tmp_path / "t"), n_buckets=4, max_deltas=2)
+
+    def ev_df(rows, extra=None):
+        base = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).withColumn(
+            "n_tok", F.size("tokens")
+        )
+        if extra:
+            name, col = extra
+            base = base.withColumn(name, col)
+        return base
+
+    r1 = [Row(commit_seq=1, doc_id="a", op="I", tokens=[1], payload=None,
+              payload_version=1, source="s", extracted_at=None),
+          Row(commit_seq=2, doc_id="b", op="I", tokens=[2], payload=None,
+              payload_version=1, source="s", extracted_at=None)]
+    t.merge(ev_df(r1), "j", 0, 1, 2)
+    assert t.extra_columns == []
+
+    # batch 2 adds a `lang` column and updates doc a
+    r2 = [Row(commit_seq=3, doc_id="a", op="U", tokens=[9], payload=None,
+              payload_version=1, source="s", extracted_at=None)]
+    t.merge(ev_df(r2, extra=("lang", F.lit("en"))), "j", 1, 3, 3)
+    assert t.extra_columns == [("lang", "string")]
+
+    out = {r["doc_id"]: r for r in t.read().collect()}
+    assert out["a"]["lang"] == "en" and list(out["a"]["tokens"]) == [9]
+    assert out["b"]["lang"] is None  # backfilled
+
+    # batch 3 (triggers L0 fold at max_deltas=2) keeps the column coherent
+    r3 = [Row(commit_seq=4, doc_id="b", op="U", tokens=[7], payload=None,
+              payload_version=1, source="s", extracted_at=None)]
+    t.merge(ev_df(r3, extra=("lang", F.lit("fr"))), "j", 2, 4, 4)
+    out = {r["doc_id"]: r for r in t.read().collect()}
+    assert out["a"]["lang"] == "en" and out["b"]["lang"] == "fr"
+
+    # conflicting type on the evolved column is rejected
+    r4 = [Row(commit_seq=5, doc_id="c", op="I", tokens=[1], payload=None,
+              payload_version=1, source="s", extracted_at=None)]
+    with pytest.raises(ValueError, match="schema evolution conflict"):
+        t.merge(ev_df(r4, extra=("lang", F.lit(7))), "j", 3, 5, 5)
+
+
 def test_payload_versions_over_time(spark, tmp_path):
     # three epochs with different payload encodings, same logical stream
     parts = []
