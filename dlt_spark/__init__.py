@@ -20,10 +20,11 @@ shuffle and retry.  What this package adds on top of stock PySpark:
 - ``functions``  — vectorized pandas/Arrow UDFs + column builders: token
                    payload normalization, deterministic row ids, text
                    dedup/quality/fingerprint functions.
-- ``lakehouse``  — a minimal copy-on-write bucketed-Parquet table format
-                   with atomic snapshot commits and idempotent commit
-                   manifests (stands in for Iceberg v2 MoR; no external
-                   jars needed).
+- ``lakehouse``  — a merge-on-read Parquet table format with leveled
+                   (L0/L1/base) compaction, hash-bucketed bases, atomic
+                   snapshot commits, tiered no-base-shuffle MoR reads and
+                   idempotent commit manifests (stands in for Iceberg v2
+                   MoR; no external jars needed).
 - ``plans``      — the batch runner: watermark resolution, batch planning
                    by commit_seq range, replay/resume (reference:
                    loader/service.go:18-105 lifecycle).

@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
 
     v = sub.add_parser("vacuum", help="remove unreferenced data files")
     v.add_argument("--table", required=True)
+    v.add_argument("--grace-secs", type=float, default=3600.0,
+                   help="keep unreferenced files younger than this "
+                        "(in-flight deltas of a live writer); 0 only "
+                        "when no writer can be active")
     v.add_argument("--master", default=None)
 
     c = sub.add_parser("compact", help="fold L0+L1 into bucket-pure bases")
@@ -162,7 +166,7 @@ def main(argv: list[str] | None = None) -> int:
             "watermark": t.watermark(),
             "n_buckets": t.n_buckets,
             "rows": rows,
-            "batches_applied": len(t._snap["applied"]),
+            "batches_applied": t.applied_count(),
             "last_manifest": (t._snap["manifests"] or [None])[-1],
         }, indent=2))
         return 0
@@ -171,7 +175,7 @@ def main(argv: list[str] | None = None) -> int:
         from dlt_spark.lakehouse import LakehouseTable
 
         t = LakehouseTable.load(spark, args.table)
-        print(json.dumps({"removed_files": t.vacuum()}))
+        print(json.dumps({"removed_files": t.vacuum(grace_secs=args.grace_secs)}))
         return 0
 
     if args.cmd == "compact":

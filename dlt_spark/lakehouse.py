@@ -10,27 +10,44 @@ semantics rely on, on plain Parquet:
    ``_snapshots/v<N>.json`` via hard-link-from-temp (create-exclusive →
    atomic AND conflict-detecting on POSIX).  Readers resolve the highest
    version; a crash mid-write leaves only orphan data files, never a
-   half-visible table.  (Iceberg: metadata.json swap.)
+   half-visible table.  (Iceberg: metadata.json swap.)  A losing writer
+   retries against the refreshed snapshot with bounded backoff
+   (``commit_delta`` conflict loop) — concurrent jobs are hands-free.
 2. **Merge-on-read ingest** — a MERGE batch writes ONLY its deduped
-   update set as per-bucket *delta* files: O(batch) work, independent of
-   table size.  The read path resolves last-writer-wins per key across
-   base+delta rows (max (_commit_seq, tombstone-rank, _row_id)); stale
-   rows from forced replays simply lose the resolve — no row-level
-   guard join needed.  (Iceberg v2: equality deletes + MoR scan.)
-   This replaces an earlier copy-on-write design whose per-batch cost
-   was O(table) once updates touched every bucket — at the 10^10-event
-   design point each ingest batch would have rewritten ~100 TB.
-3. **Amortized compaction** — when a bucket accumulates ``max_deltas``
-   delta files, the merge folds base+deltas into a new resolved base
-   for just that bucket (copy-on-write at 1/max_deltas frequency), so
-   read amplification stays bounded.  (Iceberg: rewrite_data_files.)
-4. **Idempotent commit manifests** — each snapshot carries the set of
-   applied ``(job_id, batch_id)`` plus per-batch lineage/metrics rows
-   (SURVEY §2.5 M4).  Replaying an applied batch is a no-op; this closes
-   the reference's at-least-once hole (destinations/postgres.go:105-118
-   retries re-insert committed chunks; big_query.go:256 WriteAppend
-   duplicates on replay).
-5. **Tombstone retention** — deletes persist as ``_deleted`` rows (the
+   update set as *delta* files: O(batch) work, independent of table
+   size.  (Iceberg v2: equality deletes + MoR scan.)  This replaces an
+   earlier copy-on-write design whose per-batch cost was O(table) once
+   updates touched every bucket — at the 10^10-event design point each
+   ingest batch would have rewritten ~100 TB.
+3. **Tiered MoR read** — the read-time LWW resolve never shuffles the
+   base.  Pending (L0+L1) row counts are tracked in snapshot metadata,
+   so the reader picks a plan WITHOUT running a job:
+     tier 1 (pending small): resolve pending (shuffle O(pending)),
+       broadcast the resolved delta and LEFT-join it onto base with an
+       inline per-row LWW comparison — ONE full-width base scan, one
+       doc_id-only base scan for insert detection, ZERO base exchange;
+     tier 2 (pending medium): broadcast only the pending KEY SET,
+       split base into untouched (anti) / touched (semi) streams and
+       resolve touched ∪ pending — two base scans, still no exchange;
+     tier 3 (pending unknown/huge): the plain full resolve (the only
+       tier that shuffles base; reachable only if a writer outruns
+       compaction by >20M keys).
+   At the 10^10-event design point every inter-compaction read was a
+   ~100 TB Exchange before this; now it is a broadcast hash join.
+4. **Amortized leveled compaction** — L0 (per-commit, unbucketed) folds
+   into bucket-pure L1 every ``max_deltas`` commits (cost O(L0));
+   buckets whose L1 count hits a staggered cap fold into fresh bases
+   (cost O(bucket), never O(table)).  (Iceberg: rewrite_data_files.)
+5. **Idempotent commit manifests** — each snapshot carries the applied
+   ``(job_id, batch_id)`` set as compressed ID RANGES plus per-batch
+   lineage/metrics rows (SURVEY §2.5 M4).  Replaying an applied batch
+   is a no-op; this closes the reference's at-least-once hole
+   (destinations/postgres.go:105-118 retries re-insert committed
+   chunks; big_query.go:256 WriteAppend duplicates on replay).
+   Manifest history beyond a retained tail spills to Parquet sidecars
+   (``_manifests/``), so snapshot JSON stays O(tail), not O(commits) —
+   a long-lived streaming job's commit latency is flat.
+6. **Tombstone retention** — deletes persist as ``_deleted`` rows (the
    resolve needs the delete's _commit_seq to reject stale re-inserts
    from forced replays of older ranges); reads filter them;
    ``purge_tombstones(horizon)`` reclaims below a replay horizon.
@@ -39,18 +56,20 @@ Hash-bucketing on doc_id (``n_buckets`` fixed per table) is the analog
 of Iceberg ``PARTITIONED BY (bucket(N, doc_id))``: bucket-local
 compaction and bucket-pruned point reads (SURVEY §4.2).
 
-Scale notes: snapshot JSON holds file lists + manifest rows — at the
-10^10-event design point with 10^7-wide batches that is ~10^3 manifest
-rows and O(n_buckets × max_deltas) file entries; both stay far below
-metadata limits.  The resolve shuffle on read is the MoR tax; compaction
-bounds it to ≤ max_deltas delta files per bucket.
+Schema evolution (Iceberg analog): new value columns register at commit
+(add-column, null backfill in older files); existing evolved columns may
+WIDEN (int→long, float→double — Spark 4 Parquet readers up-cast at scan
+time) and RENAME (logical-name mapping kept in the snapshot; reads
+coalesce the physical names).
 """
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import tempfile
+import time
 import uuid
 from datetime import datetime, timezone
 
@@ -63,6 +82,26 @@ from dlt_spark.schemas import MANIFEST_SCHEMA, TARGET_SCHEMA
 
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
+_MANIFEST_DIR = "_manifests"
+
+# Manifest rows retained inline in the snapshot; beyond 2× the tail the
+# oldest spill to a Parquet sidecar (read back via manifests_df).
+MANIFEST_TAIL = 64
+
+# Tiered-read thresholds (pending rows, from snapshot metadata — no job
+# runs to choose the plan).  Tier 1 broadcasts FULL resolved delta rows
+# (payload included, ~300 B/row with tokens → ≤ ~300 MB); tier 2
+# broadcasts only the key set (~30 B/key → ≤ ~600 MB at the cap).
+BROADCAST_ROWS_T1 = 1_000_000
+BROADCAST_KEYS_T2 = 20_000_000
+
+# Parquet widening promotions Spark 4 readers apply at scan time
+# (SPARK-40876): physical type → readable-as types.
+_WIDEN_OK = {
+    "int": {"bigint", "double"},
+    "float": {"double"},
+    "smallint": {"int", "bigint", "double"},
+}
 
 
 def _bucket_col(key_col: str, n_buckets: int):
@@ -75,7 +114,9 @@ def _read_schema(
     """Physical read schema: core TARGET columns + evolved extras
     (+ the delta-only _n_events).  Files written before a column was
     added simply lack it — Spark backfills nulls, which IS the
-    evolution semantics (Iceberg add-column analog)."""
+    evolution semantics (Iceberg add-column analog).  Files written
+    before a widen carry the narrower physical type — Spark 4 Parquet
+    readers up-cast int→long / float→double at scan time."""
     from pyspark.sql.types import _parse_datatype_string
 
     fields = list(TARGET_SCHEMA.fields)
@@ -93,13 +134,75 @@ _NON_VALUE_EVENT_COLS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# applied-set ranges: {job_id: [[lo, hi], ...]} sorted, disjoint,
+# inclusive.  O(log n) membership, O(1) amortized growth for the common
+# monotone batch-id sequence — the snapshot stays O(#jobs + #gaps)
+# instead of O(#batches).
+# ---------------------------------------------------------------------------
+def _ranges_contains(ranges: list, x: int) -> bool:
+    i = bisect.bisect_right(ranges, [x, float("inf")]) - 1
+    return i >= 0 and ranges[i][0] <= x <= ranges[i][1]
+
+
+def _ranges_add(ranges: list, x: int) -> list:
+    i = bisect.bisect_right(ranges, [x, float("inf")])
+    if i > 0 and ranges[i - 1][0] <= x <= ranges[i - 1][1]:
+        return ranges
+    out = ranges[: i - 1] if i > 0 else []
+    lo = hi = x
+    if i > 0:
+        plo, phi = ranges[i - 1]
+        if phi == x - 1:
+            lo = plo
+        else:
+            out.append(ranges[i - 1])
+    rest = ranges[i:]
+    if rest and rest[0][0] == x + 1:
+        hi = rest[0][1]
+        rest = rest[1:]
+    out.append([lo, hi])
+    out.extend(rest)
+    return out
+
+
+def _ranges_count(ranges: list) -> int:
+    return sum(hi - lo + 1 for lo, hi in ranges)
+
+
+def _normalize_snap(snap: dict) -> dict:
+    """Upgrade pre-round-2 snapshot layouts in place:
+    - deltas: [[paths]] → [{"files": [...], "rows": None}]
+    - l1:     {b: [paths]} → {b: {"files": [...], "rows": None}}
+    - applied: ["job::batch"] → {job: [[lo, hi], ...]}
+    Unknown row counts push reads to the conservative full-resolve tier.
+    """
+    snap.setdefault("manifest_spill", [])
+    snap.setdefault("renames", {})
+    deltas = snap.get("deltas", [])
+    if deltas and isinstance(deltas[0], list):
+        snap["deltas"] = [{"files": ps, "rows": None} for ps in deltas]
+    l1 = snap.get("l1", {})
+    if l1 and isinstance(next(iter(l1.values())), list):
+        snap["l1"] = {b: {"files": ps, "rows": None} for b, ps in l1.items()}
+    applied = snap.get("applied", [])
+    if isinstance(applied, list):
+        by_job: dict[str, list] = {}
+        for key in applied:
+            job, _, bid = key.rpartition("::")
+            by_job.setdefault(job, [])
+            by_job[job] = _ranges_add(by_job[job], int(bid))
+        snap["applied"] = by_job
+    return snap
+
+
 class LakehouseTable:
     """Handle to one merge-on-read table rooted at ``path``."""
 
     def __init__(self, spark: SparkSession, path: str, snap: dict):
         self.spark = spark
         self.path = path
-        self._snap = snap
+        self._snap = _normalize_snap(snap)
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -124,12 +227,13 @@ class LakehouseTable:
             "max_deltas": max_deltas,  # L0 commit cap (and L1 per-bucket cap)
             # Leveled layout (LSM-style; Iceberg analog: data files +
             # positional deltas + rewrite_data_files):
-            #   L0 "deltas":  [[rel paths], …] — one entry per ingest
-            #     commit, UNBUCKETED (written straight out of the dedup
-            #     shuffle: zero extra shuffle on the hot path)
-            #   L1 "l1":      bucket(str) → [rel paths] — bucket-pure,
-            #     resolved folds of L0 (cost O(L0) every max_deltas
-            #     commits, independent of table size)
+            #   L0 "deltas":  [{"files": [...], "rows": n}, …] — one entry
+            #     per ingest commit, UNBUCKETED (written straight out of
+            #     the dedup shuffle: zero extra shuffle on the hot path);
+            #     "rows" feeds the tiered-read plan choice
+            #   L1 "l1":      bucket(str) → {"files": [...], "rows": n} —
+            #     bucket-pure, resolved folds of L0 (cost O(L0) every
+            #     max_deltas commits, independent of table size)
             #   base "buckets": bucket(str) → [rel paths] — bucket-pure,
             #     fully resolved; rebuilt bucket-locally when a bucket's
             #     L1 count hits its (staggered) cap — cost O(bucket),
@@ -138,11 +242,14 @@ class LakehouseTable:
             "l1": {},
             "deltas": [],
             # evolved value columns beyond TARGET_SCHEMA: [[name, ddl], …]
-            # (Iceberg schema-evolution analog: add-column only; a type
-            # conflict on an existing column is rejected at merge time)
+            # (Iceberg schema-evolution analog: add-column + widen; rename
+            # via the "renames" physical→logical map)
             "extra_columns": [],
-            "applied": [],  # ["job_id::batch_id", ...]
-            "manifests": [],  # rows per MANIFEST_SCHEMA
+            "renames": {},
+            # {job_id: [[batch_lo, batch_hi], …]} — compressed applied set
+            "applied": {},
+            "manifests": [],  # retained tail, rows per MANIFEST_SCHEMA
+            "manifest_spill": [],  # parquet sidecar rel paths (older rows)
             "watermark": -1,  # highest seq_to applied
         }
         _commit_snapshot(snap_dir, snap)
@@ -182,7 +289,10 @@ class LakehouseTable:
         return self._snap["watermark"]
 
     def is_applied(self, job_id: str, batch_id: int) -> bool:
-        return f"{job_id}::{batch_id}" in set(self._snap["applied"])
+        return _ranges_contains(self._snap["applied"].get(job_id, []), batch_id)
+
+    def applied_count(self) -> int:
+        return sum(_ranges_count(r) for r in self._snap["applied"].values())
 
     def _abs(self, rels: list[str]) -> list[str]:
         return [os.path.join(self.path, r) for r in rels]
@@ -191,20 +301,43 @@ class LakehouseTable:
     def extra_columns(self) -> list:
         return [tuple(e) for e in self._snap.get("extra_columns", [])]
 
+    @property
+    def renames(self) -> dict:
+        """physical (as-written) column name → current logical name."""
+        return dict(self._snap.get("renames", {}))
+
     def _raw(self, files: list[str], extras: list | None = None) -> DataFrame:
         """Read data files with the physical schema (delta files carry an
         extra _n_events column; base files don't — permissive schema;
-        files older than an evolved column backfill nulls)."""
+        files older than an evolved column backfill nulls; files written
+        under a pre-rename physical name coalesce into the logical
+        column; files with a pre-widen narrower type up-cast at scan)."""
         if extras is None:
             extras = self.extra_columns
+        renames = self.renames
         if not files:
             schema = _read_schema(extras=extras).add(
-                "_bucket", IntegerType(), False
+                StructField("_bucket", IntegerType(), False)
             )
             return self.spark.createDataFrame([], schema)
-        cols = [f.name for f in TARGET_SCHEMA.fields] + [n for n, _ in extras]
+        # physical read schema: logical extras + any renamed-away
+        # physical columns (same ddl as their logical target)
+        ddl_of = dict(extras)
+        phys_extras = list(extras) + [
+            (old, ddl_of[new]) for old, new in renames.items() if new in ddl_of
+        ]
+        cols = [F.col(f.name) for f in TARGET_SCHEMA.fields]
+        for n, _ in extras:
+            olds = sorted(o for o, nn in renames.items() if nn == n)
+            cols.append(
+                F.coalesce(F.col(n), *[F.col(o) for o in olds]).alias(n)
+                if olds
+                else F.col(n)
+            )
         return (
-            self.spark.read.schema(_read_schema(extra_n_events=True, extras=extras))
+            self.spark.read.schema(
+                _read_schema(extra_n_events=True, extras=phys_extras)
+            )
             .parquet(*files)
             .select(*cols)
             .withColumn("_bucket", _bucket_col("doc_id", self.n_buckets))
@@ -230,29 +363,143 @@ class LakehouseTable:
     def _l1(self) -> dict:
         return self._snap.get("l1", {})
 
+    def _pending(self, buckets=None) -> tuple[list[str], int | None]:
+        """(files, rows) of L0+L1 not yet folded into base.  rows is None
+        when any entry predates row tracking (→ conservative tier 3)."""
+        files: list[str] = []
+        rows: int | None = 0
+        l1_keys = self._l1.keys() if buckets is None else [str(b) for b in buckets]
+        for k in l1_keys:
+            e = self._l1.get(k)
+            if not e:
+                continue
+            files.extend(e["files"])
+            rows = None if (rows is None or e["rows"] is None) else rows + e["rows"]
+        for e in self._snap["deltas"]:
+            files.extend(e["files"])
+            rows = None if (rows is None or e["rows"] is None) else rows + e["rows"]
+        return files, rows
+
     def read(self, buckets=None, include_deleted: bool = False) -> DataFrame:
-        """Current table state (optionally restricted to buckets).
-        Resolves base+L1+L0 rows per key; tombstones filtered unless
-        ``include_deleted``.  Bucket restriction prunes base/L1 files by
-        path and L0 rows by predicate (L0 is unbucketed)."""
+        """Current table state (optionally restricted to buckets) —
+        tiered MoR resolve, see the module docstring §3.  Base files are
+        bucket-pure and one-row-per-key on disk; the pending (L0+L1) row
+        count in the snapshot picks the plan without running a job.
+        Tombstones filtered unless ``include_deleted``."""
         bm = self._snap["buckets"]
         keys = bm.keys() if buckets is None else [str(b) for b in buckets]
-        base = [p for k in keys for p in bm.get(k, [])]
-        l1_keys = self._l1.keys() if buckets is None else [str(b) for b in buckets]
-        l1 = [p for k in l1_keys for p in self._l1.get(k, [])]
-        l0 = [p for ps in self._snap["deltas"] for p in ps]
-        df = self._raw(self._abs(base + l1 + l0))
-        if buckets is not None and l0:
-            df = df.where(F.col("_bucket").isin([int(b) for b in buckets]))
-        if l0 or l1:  # base alone is already one-row-per-key
-            df = self._resolve(df)
+        base_files = [p for k in keys for p in bm.get(k, [])]
+        pend_files, pend_rows = self._pending(buckets)
+
+        def _bucket_filter(df: DataFrame) -> DataFrame:
+            if buckets is not None:
+                return df.where(
+                    F.col("_bucket").isin([int(b) for b in buckets])
+                )
+            return df
+
+        if not pend_files:
+            out = self._raw(self._abs(base_files))  # already one-row-per-key
+        elif not base_files:
+            out = self._resolve(_bucket_filter(self._raw(self._abs(pend_files))))
+        else:
+            pending = _bucket_filter(self._raw(self._abs(pend_files)))
+            base = self._raw(self._abs(base_files))
+            if pend_rows is not None and pend_rows <= BROADCAST_ROWS_T1:
+                out = self._read_merge_t1(base, pending)
+            elif pend_rows is not None and pend_rows <= BROADCAST_KEYS_T2:
+                out = self._read_merge_t2(base, pending)
+            else:
+                # tier 3: full resolve (the pre-round-2 plan) — only
+                # reachable when a writer outruns compaction by >20M keys
+                out = self._resolve(base.unionByName(pending))
         if not include_deleted:
-            df = df.where(~F.col("_deleted"))
-        return df
+            out = out.where(~F.col("_deleted"))
+        return out
+
+    def _read_merge_t1(self, base: DataFrame, pending: DataFrame) -> DataFrame:
+        """Tier-1 read: broadcast the RESOLVED delta (full rows) and
+        LEFT-join it onto base with an inline LWW struct comparison.
+        Base is scanned once full-width and once doc_id-only (insert
+        detection); neither scan shuffles.  Spark's ReuseExchange dedupes
+        the repeated resolve(pending) subtree within the single plan."""
+        d = self._resolve(pending)
+        cols = [c for c in base.columns if c != "doc_id"]
+        d2 = F.broadcast(
+            d.select(
+                F.col("doc_id").alias("__k"),
+                *[F.col(c).alias(f"__d_{c}") for c in cols],
+            )
+        )
+        j = base.join(d2, base["doc_id"] == F.col("__k"), "left")
+        d_wins = F.col("__k").isNotNull() & (
+            F.struct(
+                F.col("__d__commit_seq"),
+                F.col("__d__deleted").cast("int"),
+                F.col("__d__row_id"),
+            )
+            > F.struct(
+                F.col("_commit_seq"),
+                F.col("_deleted").cast("int"),
+                F.col("_row_id"),
+            )
+        )
+        merged = j.select(
+            "doc_id",
+            *[
+                F.when(d_wins, F.col(f"__d_{c}")).otherwise(F.col(c)).alias(c)
+                for c in cols
+            ],
+        )
+        # delta keys absent from base = inserts; the base probe here is
+        # column-pruned to doc_id only (cheap scan, still no exchange)
+        in_base = base.select("doc_id").join(
+            F.broadcast(d.select("doc_id")), "doc_id", "left_semi"
+        )
+        d_new = d.join(in_base, "doc_id", "left_anti")
+        return merged.unionByName(d_new.select(*merged.columns))
+
+    def _read_merge_t2(self, base: DataFrame, pending: DataFrame) -> DataFrame:
+        """Tier-2 read: broadcast only the pending KEY SET; base splits
+        into untouched (anti) / touched (semi) streams — two full-width
+        base scans, zero base exchange; the resolve shuffles only
+        touched ∪ pending = O(pending)."""
+        pkeys = F.broadcast(pending.select("doc_id").distinct())
+        untouched = base.join(pkeys, "doc_id", "left_anti")
+        touched = base.join(pkeys, "doc_id", "left_semi")
+        winners = self._resolve(touched.unionByName(pending))
+        return untouched.unionByName(winners.select(*untouched.columns))
 
     def manifests_df(self) -> DataFrame:
-        rows = self._snap["manifests"]
-        return self.spark.createDataFrame(rows, MANIFEST_SCHEMA)
+        """All manifest rows: the retained in-snapshot tail plus any
+        spilled Parquet sidecars (lineage survives the spill)."""
+        tail = self.spark.createDataFrame(self._snap["manifests"], MANIFEST_SCHEMA)
+        spill = self._snap.get("manifest_spill", [])
+        if not spill:
+            return tail
+        spilled = self.spark.read.schema(MANIFEST_SCHEMA).parquet(
+            *self._abs(spill)
+        )
+        return spilled.unionByName(tail)
+
+    def _find_manifest(self, job_id: str, batch_id: int) -> dict | None:
+        """Latest manifest row for (job_id, batch_id): tail first (newest
+        last — forced re-applies resolve to the LATEST row, ADVICE.md),
+        then the spilled sidecars."""
+        for m in reversed(self._snap["manifests"]):
+            if m["job_id"] == job_id and m["batch_id"] == batch_id:
+                return m
+        if self._snap.get("manifest_spill"):
+            rows = (
+                self.manifests_df()
+                .where(
+                    (F.col("job_id") == job_id) & (F.col("batch_id") == batch_id)
+                )
+                .collect()
+            )
+            if rows:
+                return rows[-1].asDict(recursive=True)
+        return None
 
     # ------------------------------------------------------------------
     # MERGE (SURVEY §2.5 M1) — the one write path
@@ -290,11 +537,7 @@ class LakehouseTable:
         (loader/service.go:82-97, SURVEY §2.7 X1).
         """
         if self.is_applied(job_id, batch_id) and not force:
-            return next(
-                m
-                for m in self._snap["manifests"]
-                if m["job_id"] == job_id and m["batch_id"] == batch_id
-            )
+            return self._find_manifest(job_id, batch_id)
         prepared = self.prepare_delta(updates, job_id, batch_id)
         return self.commit_delta(
             prepared, job_id, batch_id, seq_from, seq_to, events_read, force
@@ -386,15 +629,41 @@ class LakehouseTable:
         seq_to: int | None = None,
         events_read: int | None = None,
         force: bool = False,
+        conflict_retries: int = 5,
     ) -> dict:
         """Publish a prepared delta: manifest + (maybe) compaction + the
-        atomic snapshot swap.  Must be called in batch order."""
+        atomic snapshot swap.  Must be called in batch order within a
+        job.  On a snapshot CONFLICT (another writer published first) the
+        commit refreshes the snapshot and retries with bounded backoff —
+        the mutation (delta list, compaction choice, version) is
+        recomputed against the new state, so concurrent jobs interleave
+        hands-free; ``conflict_retries=0`` restores fail-fast."""
+        attempt = 0
+        while True:
+            try:
+                return self._commit_delta_once(
+                    prepared, job_id, batch_id, seq_from, seq_to,
+                    events_read, force,
+                )
+            except SnapshotConflict:
+                if attempt >= conflict_retries:
+                    raise
+                time.sleep(min(0.05 * (2 ** attempt), 1.0))
+                attempt += 1
+                self._snap = self.refresh()._snap
+
+    def _commit_delta_once(
+        self,
+        prepared: dict,
+        job_id: str,
+        batch_id: int,
+        seq_from: int | None,
+        seq_to: int | None,
+        events_read: int | None,
+        force: bool,
+    ) -> dict:
         if self.is_applied(job_id, batch_id) and not force:
-            return next(
-                m
-                for m in self._snap["manifests"]
-                if m["job_id"] == job_id and m["batch_id"] == batch_id
-            )
+            return self._find_manifest(job_id, batch_id)
         stats = prepared["stats"]
         if stats is None or stats["n"] == 0:
             return self._commit_noop(job_id, batch_id, seq_from, seq_to, events_read)
@@ -411,12 +680,24 @@ class LakehouseTable:
                 else stats["n"]
             )
 
-        # register evolved columns (add-only; type conflicts rejected)
+        # register evolved columns: add-only, plus WIDEN (int→long,
+        # float→double — old files up-cast at scan, Spark 4 readers);
+        # other type changes rejected.  Incoming names are logical
+        # (post-rename) names.
         extra_cols = [list(e) for e in self._snap.get("extra_columns", [])]
         known = {n: d for n, d in extra_cols}
         for n, d in prepared.get("extras", []):
             if n in known:
-                if known[n] != d:
+                if known[n] == d:
+                    continue
+                if d in _WIDEN_OK.get(known[n], ()):  # widen registered type
+                    for e in extra_cols:
+                        if e[0] == n:
+                            e[1] = d
+                    known[n] = d
+                elif known[n] in _WIDEN_OK.get(d, ()):
+                    pass  # batch narrower than table: files up-cast at read
+                else:
                     raise ValueError(
                         f"schema evolution conflict on column {n!r}: "
                         f"table has {known[n]}, batch has {d}"
@@ -426,24 +707,35 @@ class LakehouseTable:
                 known[n] = d
 
         buckets_map = dict(self._snap["buckets"])
-        l1_map = {k: list(v) for k, v in self._l1.items()}
-        deltas = self._snap["deltas"] + [prepared["files"]]
+        l1_map = {k: dict(v) for k, v in self._l1.items()}
+        deltas = self._snap["deltas"] + [
+            {"files": prepared["files"], "rows": int(stats["n"])}
+        ]
 
         new_extras = [tuple(e) for e in extra_cols]
         if len(deltas) >= self.max_deltas:
             # L0 → L1 fold: resolve + bucket the pending commits.  Cost
             # O(sum of L0) = O(max_deltas batches), independent of table
-            # size.
-            for b, ps in self._fold_l0(deltas, extras=new_extras).items():
-                l1_map.setdefault(b, []).extend(ps)
+            # size.  Per-bucket row counts come from the written parquet
+            # footers (driver-side, no extra job) and keep the tiered
+            # read's metadata exact.
+            folded = self._fold_l0(deltas, extras=new_extras)
+            for b, entry in folded.items():
+                cur = l1_map.setdefault(b, {"files": [], "rows": 0})
+                cur["files"] = cur["files"] + entry["files"]
+                cur["rows"] = (
+                    None
+                    if cur["rows"] is None
+                    else cur["rows"] + entry["rows"]
+                )
             deltas = []
             # Bucket-local major compaction: rebuild base for buckets
             # whose L1 count hits a per-bucket STAGGERED cap (b % 4
             # jitter spreads majors over fold points instead of one
             # global O(table) spike).  Cost O(selected buckets).
             over = [
-                b for b, ps in l1_map.items()
-                if len(ps) >= self.max_deltas + (int(b) % 4)
+                b for b, e in l1_map.items()
+                if len(e["files"]) >= self.max_deltas + (int(b) % 4)
             ]
             if over:
                 compacted = self._major_compact(
@@ -452,7 +744,7 @@ class LakehouseTable:
                 for b, ps in compacted.items():
                     buckets_map[b] = ps
                 for b in over:
-                    l1_map[b] = []
+                    l1_map[b] = {"files": [], "rows": 0}
 
         manifest = {
             "job_id": job_id,
@@ -475,18 +767,16 @@ class LakehouseTable:
     def verify_batch(self, job_id: str, batch_id: int) -> bool | None:
         """Integrity check (SURVEY §2.1 S2): recompute the manifest's
         order-insensitive content hash from the batch's own delta files.
-        Returns None when the files were compacted away (row-level
-        verification window closed), True/False otherwise."""
-        m = next(
-            (
-                m
-                for m in self._snap["manifests"]
-                if m["job_id"] == job_id and m["batch_id"] == batch_id
-            ),
-            None,
-        )
-        if m is None or m.get("data_hash") is None:
+        Returns None when verification is not applicable — the files
+        were compacted away (row-level window closed) or the batch was a
+        legitimate no-op/gap commit (data_hash is None by construction,
+        see _commit_noop).  False ONLY for an unknown (job_id, batch_id)
+        or a real hash mismatch."""
+        m = self._find_manifest(job_id, batch_id)
+        if m is None:
             return False
+        if m.get("data_hash") is None:
+            return None  # no-op gap batch: nothing to verify (ADVICE.md)
         files = self._abs(m.get("delta_files") or [])
         if not files or not all(os.path.exists(f) for f in files):
             return None
@@ -520,12 +810,18 @@ class LakehouseTable:
         )
         return _list_bucket_files(commit_abs, self.path)
 
-    def _fold_l0(self, deltas: list, extras: list | None = None) -> dict[str, list[str]]:
+    def _fold_l0(self, deltas: list, extras: list | None = None) -> dict[str, dict]:
         """L0 → L1: resolve the pending unbucketed commits among
-        themselves and write them bucket-pure.  O(L0 volume)."""
-        paths = [p for ps in deltas for p in ps]
+        themselves and write them bucket-pure.  O(L0 volume).  Returns
+        bucket → {"files": [...], "rows": n} with exact row counts read
+        from the parquet footers (driver-side metadata, no Spark job)."""
+        paths = [p for e in deltas for p in e["files"]]
         resolved = self._resolve(self._raw(self._abs(paths), extras=extras))
-        return self._write_bucketed(resolved, "l1")
+        out = self._write_bucketed(resolved, "l1")
+        return {
+            b: {"files": ps, "rows": _parquet_rows(self._abs(ps))}
+            for b, ps in out.items()
+        }
 
     def _major_compact(
         self, buckets_map: dict, l1_map: dict, buckets: list[str],
@@ -536,7 +832,7 @@ class LakehouseTable:
         Caller must have folded L0 first (L0 rows are unbucketed and
         could otherwise supersede rows of these buckets)."""
         paths = [p for b in buckets for p in buckets_map.get(b, [])]
-        paths += [p for b in buckets for p in l1_map.get(b, [])]
+        paths += [p for b in buckets for p in l1_map.get(b, {}).get("files", [])]
         resolved = self._resolve(self._raw(self._abs(paths), extras=extras))
         out = self._write_bucketed(resolved, "base")
         for b in buckets:  # a bucket may resolve to nothing (post-purge)
@@ -561,11 +857,50 @@ class LakehouseTable:
         }
         self._commit(
             dict(self._snap["buckets"]),
-            {k: list(v) for k, v in self._l1.items()},
+            {k: dict(v) for k, v in self._l1.items()},
             list(self._snap["deltas"]),
             manifest,
         )
         return manifest
+
+    def _spill_manifests(self, manifests: list[dict]) -> tuple[list[dict], list[str]]:
+        """Keep the snapshot O(tail): once the inline manifest list
+        exceeds 2×MANIFEST_TAIL, write all but the newest MANIFEST_TAIL
+        rows to a Parquet sidecar (driver-side pyarrow — rows are tiny
+        metadata, no Spark job).  Returns (retained tail, spill paths)."""
+        spill = list(self._snap.get("manifest_spill", []))
+        if len(manifests) <= 2 * MANIFEST_TAIL:
+            return manifests, spill
+        to_spill, tail = manifests[:-MANIFEST_TAIL], manifests[-MANIFEST_TAIL:]
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(self.path, _MANIFEST_DIR), exist_ok=True)
+        rel = os.path.join(_MANIFEST_DIR, f"m-{uuid.uuid4().hex}.parquet")
+        cols = {
+            f.name: [m.get(f.name) for m in to_spill] for f in MANIFEST_SCHEMA.fields
+        }
+        schema = pa.schema(
+            [
+                ("job_id", pa.string()),
+                ("batch_id", pa.int64()),
+                ("seq_from", pa.int64()),
+                ("seq_to", pa.int64()),
+                ("events_read", pa.int64()),
+                ("events_applied", pa.int64()),
+                ("deletes_applied", pa.int64()),
+                ("min_doc_id", pa.string()),
+                ("max_doc_id", pa.string()),
+                ("committed_at", pa.string()),
+                ("snapshot_version", pa.int64()),
+                ("data_hash", pa.int64()),
+                ("delta_files", pa.list_(pa.string())),
+            ]
+        )
+        pq.write_table(
+            pa.table(cols, schema=schema), os.path.join(self.path, rel)
+        )
+        return tail, spill + [rel]
 
     def _commit(
         self,
@@ -574,7 +909,21 @@ class LakehouseTable:
         deltas: list,
         manifest: dict,
         extra_columns: list | None = None,
+        renames: dict | None = None,
     ) -> None:
+        job, bid = manifest["job_id"], manifest["batch_id"]
+        applied = {k: list(v) for k, v in self._snap["applied"].items()}
+        applied[job] = _ranges_add(applied.get(job, []), int(bid))
+        # forced re-apply: REPLACE the stale manifest row for this
+        # (job_id, batch_id) instead of appending a duplicate (ADVICE.md
+        # — duplicate rows made verify/merge resolve stale delta files
+        # and double-counted lineage metrics)
+        manifests = [
+            m
+            for m in self._snap["manifests"]
+            if not (m["job_id"] == job and m["batch_id"] == bid)
+        ] + [manifest]
+        manifests, spill = self._spill_manifests(manifests)
         new_snap = {
             "version": self.version + 1,
             "n_buckets": self.n_buckets,
@@ -587,13 +936,47 @@ class LakehouseTable:
                 if extra_columns is not None
                 else self._snap.get("extra_columns", [])
             ),
-            "applied": sorted(
-                set(self._snap["applied"])
-                | {f"{manifest['job_id']}::{manifest['batch_id']}"}
+            "renames": (
+                renames if renames is not None else self._snap.get("renames", {})
             ),
-            "manifests": self._snap["manifests"] + [manifest],
+            "applied": applied,
+            "manifests": manifests,
+            "manifest_spill": spill,
             "watermark": max(self._snap["watermark"], manifest["seq_to"]),
         }
+        _commit_snapshot(os.path.join(self.path, _SNAP_DIR), new_snap)
+        self._snap = new_snap
+
+    # ------------------------------------------------------------------
+    # schema evolution DDL (Iceberg ALTER TABLE analog)
+    # ------------------------------------------------------------------
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN old TO new — metadata-only: the
+        logical name changes in the snapshot, existing files keep the
+        physical name, reads coalesce(new, old).  Restricted to evolved
+        (extra) columns; core TARGET columns are the engine contract."""
+        extras = [list(e) for e in self._snap.get("extra_columns", [])]
+        names = {e[0] for e in extras}
+        if old not in names:
+            raise ValueError(f"unknown evolved column {old!r} (have {sorted(names)})")
+        if new in names or new in {f.name for f in TARGET_SCHEMA.fields}:
+            raise ValueError(f"column {new!r} already exists")
+        for e in extras:
+            if e[0] == old:
+                e[0] = new
+        renames = dict(self._snap.get("renames", {}))
+        # chain-collapse: if old was itself a rename target, repoint the
+        # original physical name at the newest logical name
+        for phys, logical in list(renames.items()):
+            if logical == old:
+                renames[phys] = new
+        renames[old] = new
+        new_snap = dict(
+            self._snap,
+            version=self.version + 1,
+            extra_columns=extras,
+            renames=renames,
+        )
         _commit_snapshot(os.path.join(self.path, _SNAP_DIR), new_snap)
         self._snap = new_snap
 
@@ -604,11 +987,11 @@ class LakehouseTable:
         """Full maintenance compaction: fold L0+L1+base into fresh
         bucket-pure bases (the explicit, all-at-once form of what the
         ingest path does incrementally)."""
-        if not self._snap["deltas"] and not any(self._l1.values()):
+        pend_files, _ = self._pending()
+        if not pend_files:
             return
         paths = [p for ps in self._snap["buckets"].values() for p in ps]
-        paths += [p for ps in self._l1.values() for p in ps]
-        paths += [p for ps in self._snap["deltas"] for p in ps]
+        paths += pend_files
         resolved = self._resolve(self._raw(self._abs(paths)))
         buckets_map = self._write_bucketed(resolved, "base")
         new_snap = dict(
@@ -627,18 +1010,36 @@ class LakehouseTable:
         Contract (same shape as Iceberg/Delta vacuum horizons): after
         purging at H, forced replays of ranges ending at or below H are
         no longer resurrection-safe.  Normal watermark-resumed ingest is
-        unaffected.  Returns the number of tombstones purged.
+        unaffected.  Returns the number of tombstones purged.  One pass:
+        the purge count rides the rewrite job via Observation instead of
+        a separate count() job.
         """
+        from pyspark.sql import Observation
+
         all_rows = self.read(include_deleted=True)
         purge = F.col("_deleted") & (F.col("_commit_seq") <= horizon_seq)
-        n_purged = all_rows.where(purge).count()
+        obs = Observation(f"purge-{uuid.uuid4().hex[:8]}")
+        kept = all_rows.observe(
+            obs, F.sum(purge.cast("long")).alias("n_purged")
+        ).where(~purge)
+        buckets_map = self._write_bucketed(kept, "base")
+        n_purged = int(obs.get["n_purged"] or 0)
         if n_purged == 0:
+            # nothing purged: drop the just-written redundant base copy
+            import shutil
+
+            dirs = {
+                os.path.dirname(os.path.dirname(self._abs([p])[0]))
+                for ps in buckets_map.values()
+                for p in ps
+            }
+            for d in dirs:
+                shutil.rmtree(d, ignore_errors=True)
             return 0
-        kept = all_rows.where(~purge)
         new_snap = dict(
             self._snap,
             version=self.version + 1,
-            buckets=self._write_bucketed(kept, "base"),
+            buckets=buckets_map,
             l1={},
             deltas=[],
         )
@@ -646,34 +1047,64 @@ class LakehouseTable:
         self._snap = new_snap
         return n_purged
 
-    def vacuum(self) -> int:
+    def vacuum(self, grace_secs: float = 3600.0) -> int:
         """Delete data files not referenced by the latest snapshot
-        (orphans from crashed commits / superseded compactions)."""
+        (orphans from crashed commits / superseded compactions).
+
+        ``grace_secs`` (Iceberg-style retention): files YOUNGER than the
+        window are kept even if unreferenced — a delta written by an
+        in-flight ``prepare_delta`` is unreferenced until its
+        ``commit_delta`` lands, so vacuuming without a grace window
+        under a live writer would delete files the next snapshot is
+        about to reference (ADVICE.md).  Pass 0 only when no writer can
+        be active."""
         live = {
             os.path.join(self.path, rel)
-            for ps in (
-                list(self._snap["buckets"].values())
-                + list(self._l1.values())
-                + self._snap["deltas"]
-            )
-            for rel in ps
+            for rel in self._live_files()
         }
+        now = time.time()
         removed = 0
         data_root = os.path.join(self.path, _DATA_DIR)
         for dirpath, _dirs, fnames in os.walk(data_root, topdown=False):
             for fn in fnames:
                 p = os.path.join(dirpath, fn)
-                if p.endswith(".parquet") and p not in live:
+                if not p.endswith(".parquet") or p in live:
+                    continue
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue
+                if age >= grace_secs:
                     os.unlink(p)
                     removed += 1
             if not os.listdir(dirpath) and dirpath != data_root:
                 os.rmdir(dirpath)
         return removed
 
+    def _live_files(self) -> list[str]:
+        out = [p for ps in self._snap["buckets"].values() for p in ps]
+        for e in self._l1.values():
+            out.extend(e["files"])
+        for e in self._snap["deltas"]:
+            out.extend(e["files"])
+        return out
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer published this snapshot version first."""
+
 
 # ---------------------------------------------------------------------------
 # snapshot file helpers
 # ---------------------------------------------------------------------------
+def _parquet_rows(paths: list[str]) -> int:
+    """Exact row count from parquet footers — driver-side metadata read,
+    no Spark job (the footer is O(KB) regardless of file size)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
 def _list_bucket_files(commit_abs: str, table_root: str) -> dict[str, list[str]]:
     out: dict[str, list[str]] = {}
     for dirpath, _dirs, fnames in os.walk(commit_abs):
@@ -723,7 +1154,7 @@ def _commit_snapshot(snap_dir: str, snap: dict) -> None:
         try:
             os.link(tmp, final)
         except FileExistsError as e:
-            raise RuntimeError(
+            raise SnapshotConflict(
                 f"snapshot conflict: {final} already committed by a concurrent writer"
             ) from e
     finally:

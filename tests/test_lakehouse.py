@@ -23,8 +23,8 @@ def _updates(spark, lo, hi, seed=5):
 
 def test_concurrent_commit_conflict(spark, tmp_path):
     """Two writers race the same snapshot version: exactly one wins the
-    create-exclusive publish; the loser gets a conflict error and can
-    retry against the new snapshot."""
+    create-exclusive publish; with retries disabled the loser gets the
+    conflict error and can refresh+retry by hand."""
     path = str(tmp_path / "t")
     a = LakehouseTable.create(spark, path, n_buckets=8)
     b = LakehouseTable.load(spark, path)  # second handle, same version
@@ -34,7 +34,7 @@ def test_concurrent_commit_conflict(spark, tmp_path):
 
     a.commit_delta(pa, "jobA", 0, 0, 499)
     with pytest.raises(RuntimeError, match="snapshot conflict"):
-        b.commit_delta(pb, "jobB", 0, 500, 999)
+        b.commit_delta(pb, "jobB", 0, 500, 999, conflict_retries=0)
 
     # loser refreshes and retries — both commits land, no data lost
     b = b.refresh()
@@ -42,6 +42,28 @@ def test_concurrent_commit_conflict(spark, tmp_path):
     t = LakehouseTable.load(spark, path)
     assert t.version == 2
     assert t.is_applied("jobA", 0) and t.is_applied("jobB", 0)
+
+
+def test_concurrent_commit_auto_retry(spark, tmp_path):
+    """Default commit_delta retries a snapshot conflict hands-free: two
+    stale handles commit concurrently-prepared deltas; both land exactly
+    once with no manual refresh (VERDICT r1 next-#9)."""
+    path = str(tmp_path / "t")
+    a = LakehouseTable.create(spark, path, n_buckets=8)
+    b = LakehouseTable.load(spark, path)  # stale second handle
+
+    pa = a.prepare_delta(_updates(spark, 0, 499), "jobA", 0)
+    pb = b.prepare_delta(_updates(spark, 500, 999), "jobB", 0)
+
+    a.commit_delta(pa, "jobA", 0, 0, 499)
+    b.commit_delta(pb, "jobB", 0, 500, 999)  # conflicts once, retries
+
+    t = LakehouseTable.load(spark, path)
+    assert t.version == 2
+    assert t.is_applied("jobA", 0) and t.is_applied("jobB", 0)
+    # replay of either batch is a no-op (exactly-once survives the race)
+    m = t.merge(_updates(spark, 500, 999), "jobB", 0)
+    assert t.version == 2 and m["events_applied"] > 0
 
 
 def test_compaction_preserves_state_and_prunes_files(spark, tmp_path):
@@ -56,6 +78,7 @@ def test_compaction_preserves_state_and_prunes_files(spark, tmp_path):
     assert not t._snap["deltas"]
     after = t.read(include_deleted=True).orderBy("doc_id").collect()
     assert before == after
-    removed = t.vacuum()
+    assert t.vacuum() == 0  # grace window protects young files (ADVICE.md)
+    removed = t.vacuum(grace_secs=0)
     assert removed > 0  # superseded delta files cleaned
     assert t.read(include_deleted=True).orderBy("doc_id").collect() == after
