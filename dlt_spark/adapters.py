@@ -1,0 +1,158 @@
+"""Schema adapters — the engine's pluggable scan-convert surface.
+
+The reference registers schemas by a config-string switch over three Go
+types (loader/setup.go:68-78: "base" | "height" | "tendermint_preprocessed",
+unknown → panic), each implementing the ``DataSource`` interface
+(schema/types.go:9-16) with per-destination DDL methods.  Here a schema
+is ONE object: a vectorized ``normalize`` that turns a raw change-event
+DataFrame into the engine's canonical update-set columns
+
+    doc_id, op, tokens, n_tok, source, commit_seq [+ extra value columns]
+
+Everything downstream (LWW dedup, MoR MERGE, manifests) is shared; extra
+columns an adapter emits ride the lakehouse schema-evolution path, so an
+adapter never edits DDL in five places the way the reference does
+(SURVEY §1.2 "adding a field means editing five methods").
+
+Registry semantics match the reference: ``get_adapter("nope")`` raises
+(the analog of loader/setup.go:77's panic).
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dlt_spark.functions.normalize import normalize_events
+
+
+class SchemaAdapter(Protocol):
+    """SURVEY §1.2's SchemaAdapter protocol (DataSource analog)."""
+
+    name: str
+
+    def normalize(self, df: DataFrame, use_arrow_udf: bool = False) -> DataFrame:
+        """Raw change events → canonical update-set columns."""
+        ...
+
+
+class TokensAdapter:
+    """Default schema (reference "base", schema/base.go): the payload IS
+    the tokenized-sequence document; normalization folds the evolved
+    payload encodings (v1 array / v2 CSV / v3 JSON) into typed tokens."""
+
+    name = "tokens"
+
+    def normalize(self, df: DataFrame, use_arrow_udf: bool = False) -> DataFrame:
+        return normalize_events(df, use_arrow_udf=use_arrow_udf)
+
+
+class HeightAdapter:
+    """Reference "height" schema (schema/height.go:101-108): the record
+    key parses to an integer height column, kept alongside the payload
+    (there: strconv.ParseUint on the key; here: one vectorized cast).
+    The height lands as an evolved value column — no DDL edits."""
+
+    name = "height"
+
+    def normalize(self, df: DataFrame, use_arrow_udf: bool = False) -> DataFrame:
+        out = normalize_events(df, use_arrow_udf=use_arrow_udf)
+        return out.withColumn(
+            "height",
+            F.regexp_extract(F.col("doc_id"), r"(\d+)$", 1).cast("long"),
+        )
+
+
+# Exploded payload shape: {"block": [int], "txs": [[int]], "events": [[int]]}
+_EXPLODED_PAYLOAD = (
+    "struct<block: array<int>, txs: array<array<int>>, events: array<array<int>>>"
+)
+
+
+class ExplodedAdapter:
+    """Reference "tendermint_preprocessed" (schema/tendermint_preprocessed.go:
+    131-209): each log record carries a block document plus per-array
+    sub-records; conversion emits one row for the block and one row per
+    element of each array, each with ``(type, array_index)`` provenance —
+    there a hand-rolled loop per array, here ONE scan: build an
+    array<struct<kind,idx,toks>> per record and explode it.
+
+    Child row key: ``<parent>/<kind>/<idx>`` — the string form of the
+    reference's composite PK (height, type, array_index) at :114, so the
+    shared MoR MERGE upserts child rows independently.  ``kind``,
+    ``array_index`` and ``parent_doc_id`` ride as evolved value columns.
+
+    Delete semantics (the reference has none — its log is append-only):
+    op='D' tombstones the block child; sub-rows of an earlier version
+    persist until individually deleted, exactly the upsert-by-PK
+    behavior the reference's destinations exhibit."""
+
+    name = "exploded"
+
+    def normalize(self, df: DataFrame, use_arrow_udf: bool = False) -> DataFrame:
+        p = F.from_json(F.col("payload"), _EXPLODED_PAYLOAD)
+        is_del = F.col("op") == "D"
+        block = F.array(
+            F.struct(
+                F.lit("block").alias("kind"),
+                F.lit(0).alias("idx"),
+                F.when(~is_del, p["block"]).alias("toks"),
+            )
+        )
+        txs = F.transform(
+            F.coalesce(p["txs"], F.array().cast("array<array<int>>")),
+            lambda x, i: F.struct(
+                F.lit("tx").alias("kind"), i.alias("idx"), x.alias("toks")
+            ),
+        )
+        evs = F.transform(
+            F.coalesce(p["events"], F.array().cast("array<array<int>>")),
+            lambda x, i: F.struct(
+                F.lit("event").alias("kind"), i.alias("idx"), x.alias("toks")
+            ),
+        )
+        children = F.when(is_del, block).otherwise(F.concat(block, txs, evs))
+        out = df.select(
+            F.col("doc_id").alias("parent_doc_id"),
+            "op",
+            "commit_seq",
+            "source",
+            F.explode(children).alias("c"),
+        )
+        return out.select(
+            F.concat_ws(
+                "/", "parent_doc_id", "c.kind", F.col("c.idx").cast("string")
+            ).alias("doc_id"),
+            "op",
+            F.col("c.toks").alias("tokens"),
+            F.when(~F.col("c.toks").isNull(), F.size("c.toks")).alias("n_tok"),
+            "source",
+            "commit_seq",
+            # provenance (reference :55-65 CSV columns type/array_index)
+            F.col("c.kind").alias("kind"),
+            F.col("c.idx").cast("long").alias("array_index"),
+            "parent_doc_id",
+        )
+
+
+ADAPTERS: dict[str, SchemaAdapter] = {
+    a.name: a for a in (TokensAdapter(), HeightAdapter(), ExplodedAdapter())
+}
+
+
+def get_adapter(name_or_adapter) -> SchemaAdapter:
+    """Config-string switch (loader/setup.go:68-78 analog; unknown name
+    raises instead of panicking).  Passing an adapter object through is
+    allowed so callers can register ad-hoc schemas without editing the
+    module — the extension point the reference lacks."""
+    if hasattr(name_or_adapter, "normalize"):
+        return name_or_adapter
+    try:
+        return ADAPTERS[name_or_adapter]
+    except KeyError:
+        raise ValueError(
+            f"unknown schema adapter {name_or_adapter!r} "
+            f"(registered: {sorted(ADAPTERS)})"
+        ) from None

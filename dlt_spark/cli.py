@@ -33,6 +33,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log-part-width", type=int, default=100_000)
     p.add_argument("--arrow-udf", action="store_true",
                    help="normalize via the pandas/Arrow UDF path")
+    p.add_argument("--schema", default="tokens",
+                   help="schema adapter: tokens | height | exploded "
+                        "(reference loader/setup.go:68-78 switch)")
     p.add_argument("--max-inflight", type=int, default=3,
                    help="concurrent batch preparations (commits stay ordered)")
     p.add_argument("--master", default=None, help="spark master override")
@@ -118,6 +121,7 @@ def main(argv: list[str] | None = None) -> int:
             seq_from=args.from_seq, seq_to=args.to_seq,
             batch_width=args.batch_width, n_buckets=args.n_buckets,
             force=args.force, use_arrow_udf=args.arrow_udf,
+            schema=args.schema,
             log_part_width=args.log_part_width, verbose=args.verbose,
             max_inflight=args.max_inflight,
         )
@@ -142,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
             res = run_incremental(
                 spark, args.log, args.table, job_id=args.job_id,
                 batch_width=args.batch_width, n_buckets=args.n_buckets,
-                use_arrow_udf=args.arrow_udf,
+                use_arrow_udf=args.arrow_udf, schema=args.schema,
                 log_part_width=args.log_part_width,
             )
             print(json.dumps({

@@ -259,6 +259,132 @@ def q_cdc_explode_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exploded-schema event fragments (ExplodedAdapter / reference
+# tendermint_preprocessed): per parent event, a block token array plus
+# 0-3 tx arrays and 0-2 event arrays, all pure integer arithmetic so
+# DuckDB regenerates the children bit-identically.
+_EXP_EVENTS_SP = """
+SELECT o_orderkey AS commit_seq,
+       'doc_' || lpad(cast(o_custkey % 150 AS string), 4, '0') AS doc_id,
+       CASE WHEN o_orderkey % 10 = 9 THEN 'D'
+            WHEN o_orderkey % 10 >= 6 THEN 'U' ELSE 'I' END AS op,
+       o_orderpriority AS source,
+       transform(sequence(0, cast(o_orderkey % 13 + 2 AS int)),
+                 i -> cast((o_orderkey * (i + 7)) % 1000 AS int)) AS block,
+       slice(transform(sequence(0, 3), j ->
+             transform(sequence(0, cast((o_orderkey + j) % 5 + 1 AS int)),
+                       k -> cast((o_orderkey * (j + 3) + k) % 1000 AS int))),
+             1, cast(o_orderkey % 4 AS int)) AS txs,
+       slice(transform(sequence(0, 2), j ->
+             transform(sequence(0, cast((o_orderkey + 2 * j) % 4 AS int)),
+                       k -> cast((o_orderkey * (j + 11) + 2 * k) % 1000 AS int))),
+             1, cast((o_orderkey + 1) % 3 AS int)) AS events
+FROM orders WHERE o_orderkey < 3000
+"""
+
+
+def q_cdc_exploded_adapter_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SchemaAdapter registry end-to-end (reference loader/setup.go:68-78
+    three-schema switch; schema/tendermint_preprocessed.go:131-209
+    explode): events whose JSON payload carries a block + tx/event
+    arrays run the FULL runner path under the 'exploded' adapter —
+    posexplode-style child rows keyed (parent, kind, array_index) ride
+    the shared LWW+MERGE engine; provenance columns land via the
+    lakehouse schema-evolution path."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+
+    _views(spark, sf_dir, "orders")
+    base = spark.sql(_EXP_EVENTS_SP)
+    events = base.select(
+        "commit_seq",
+        "doc_id",
+        "op",
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.when(
+            F.col("op") != "D",
+            F.to_json(F.struct("block", "txs", "events")),
+        ).alias("payload"),
+        F.lit(1).alias("payload_version"),
+        "source",
+        F.current_timestamp().alias("extracted_at"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dlt_exploded_")
+    log_path = os.path.join(tmp, "log")
+    tbl_path = os.path.join(tmp, "tbl")
+    write_change_log(events, log_path, part_width=1_000)
+    run_incremental(
+        spark, log_path, tbl_path, schema="exploded",
+        batch_width=1_000, n_buckets=8, log_part_width=1_000,
+    )
+    t = LakehouseTable.load(spark, tbl_path)
+    return t.read().select(
+        "doc_id",
+        "kind",
+        "array_index",
+        "parent_doc_id",
+        F.col("_commit_seq").alias("last_seq"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "source",
+        F.array_join(F.col("tokens").cast("array<string>"), ",").alias("tokens_str"),
+    )
+
+
+def q_cdc_widened_column_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution fold across a TYPE WIDEN (VERDICT r1 next-#6):
+    early batches carry an int `score` value column, later batches a
+    bigint; the table widens, pre-widen files up-cast at scan (Spark 4
+    parquet widening), and the LWW fold stays correct across eras."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.operators.dedup import dedup_lww
+
+    _views(spark, sf_dir, "orders")
+    ev = (
+        spark.sql(_EVENTS_SP)
+        .where(F.col("commit_seq") < 4000)
+        .withColumn("tokens", F.col("tokens").cast("array<int>"))
+    )
+    narrow = ev.where(F.col("commit_seq") < 2000).withColumn(
+        "score", (F.col("commit_seq") % 100).cast("int")
+    )
+    wide = ev.where(F.col("commit_seq") >= 2000).withColumn(
+        "score", (F.col("commit_seq") % 100 + F.lit(1) * 10**12).cast("bigint")
+    )
+    tmp = tempfile.mkdtemp(prefix="dlt_widen_")
+    t = LakehouseTable.create(spark, os.path.join(tmp, "tbl"), n_buckets=8)
+    t.merge(dedup_lww(narrow), "widen", 0, 0, 1999)
+    t.merge(dedup_lww(wide), "widen", 1, 2000, 3999)
+    return t.read().select(
+        "doc_id",
+        F.col("_commit_seq").alias("last_seq"),
+        F.col("score").cast("bigint").alias("score"),
+        F.array_join(F.col("tokens").cast("array<string>"), ",").alias("tokens_str"),
+    )
+
+
+def q_cdc_height_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HeightAdapter (reference schema/height.go:101-108): the record key
+    parses to an integer height column — one vectorized regexp+cast
+    instead of the reference's per-row strconv.ParseUint."""
+    from dlt_spark.adapters import get_adapter
+
+    _views(spark, sf_dir, "orders")
+    ev = spark.sql(_EVENTS_SP).select(
+        "commit_seq", "doc_id", "op",
+        F.col("tokens").cast("array<int>").alias("tokens"),
+        F.lit(None).cast("string").alias("payload"),
+        F.lit(1).alias("payload_version"),
+        "source",
+        F.current_timestamp().alias("extracted_at"),
+    ).where(F.col("commit_seq") < 2000)
+    out = get_adapter("height").normalize(ev)
+    return out.select(
+        "doc_id", "commit_seq", F.col("height").cast("bigint").alias("height"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+    )
+
+
 def q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 diagnostics: hottest keys by event count (skew profile)."""
     _views(spark, sf_dir, "orders")
@@ -554,6 +680,9 @@ QUERIES = {
     "cdc_row_ids": q_cdc_row_ids,
     "cdc_normalize_versions": q_cdc_normalize_versions,
     "cdc_explode_provenance": q_cdc_explode_provenance,
+    "cdc_exploded_adapter_final_state": q_cdc_exploded_adapter_final_state,
+    "cdc_widened_column_final_state": q_cdc_widened_column_final_state,
+    "cdc_height_adapter": q_cdc_height_adapter,
     "cdc_hot_keys": q_cdc_hot_keys,
     "events_hourly_rollup": q_events_hourly_rollup,
     "docs_exact_dedup": q_docs_exact_dedup,
@@ -633,6 +762,77 @@ WITH t AS (SELECT doc_id, toks FROM ({_DOCTOKS_DK}) WHERE doc_id < 50)
 SELECT doc_id, cast(i - 1 AS bigint) AS array_index,
        cast(toks[i] AS bigint) AS token
 FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+"""
+
+# DuckDB twin of _EXP_EVENTS_SP: children regenerated arithmetically
+# (no JSON round-trip needed — the payload IS a pure function of the
+# event), then LWW per child key.  Tx/event children only exist on
+# non-delete events; a delete tombstones the block child, sub-rows of
+# earlier versions persist until individually deleted — matching the
+# adapter's documented upsert-by-PK semantics (and the reference's).
+_EXP_EV_DK = """
+SELECT o_orderkey AS commit_seq,
+       'doc_' || lpad(cast(o_custkey % 150 AS varchar), 4, '0') AS doc_id,
+       CASE WHEN o_orderkey % 10 = 9 THEN 'D'
+            WHEN o_orderkey % 10 >= 6 THEN 'U' ELSE 'I' END AS op,
+       o_orderpriority AS source
+FROM orders WHERE o_orderkey < 3000
+"""
+
+_ORACLES["cdc_exploded_adapter_final_state"] = f"""
+WITH ev AS ({_EXP_EV_DK}),
+children AS (
+  SELECT doc_id || '/block/0' AS doc_id, 'block' AS kind,
+         cast(0 AS bigint) AS array_index, doc_id AS parent_doc_id,
+         op, commit_seq, source,
+         CASE WHEN op = 'D' THEN NULL
+              ELSE list_transform(range(commit_seq % 13 + 3),
+                                  i -> (commit_seq * (i + 7)) % 1000)
+         END AS toks
+  FROM ev
+  UNION ALL
+  SELECT doc_id || '/tx/' || u.j, 'tx', cast(u.j AS bigint), doc_id,
+         op, commit_seq, source,
+         list_transform(range((commit_seq + u.j) % 5 + 2),
+                        k -> (commit_seq * (u.j + 3) + k) % 1000)
+  FROM ev, LATERAL (SELECT unnest(range(ev.commit_seq % 4)) AS j) u
+  WHERE op <> 'D'
+  UNION ALL
+  SELECT doc_id || '/event/' || u.j, 'event', cast(u.j AS bigint), doc_id,
+         op, commit_seq, source,
+         list_transform(range((commit_seq + 2 * u.j) % 4 + 1),
+                        k -> (commit_seq * (u.j + 11) + 2 * k) % 1000)
+  FROM ev, LATERAL (SELECT unnest(range((ev.commit_seq + 1) % 3)) AS j) u
+  WHERE op <> 'D'),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY commit_seq DESC) AS rn
+  FROM children)
+SELECT doc_id, kind, array_index, parent_doc_id,
+       commit_seq AS last_seq, cast(len(toks) AS bigint) AS n_tok, source,
+       array_to_string(toks, ',') AS tokens_str
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+_ORACLES["cdc_widened_column_final_state"] = f"""
+WITH ev AS (SELECT * FROM ({_EVENTS_DK}) WHERE commit_seq < 4000),
+scored AS (
+  SELECT *, CASE WHEN commit_seq < 2000 THEN commit_seq % 100
+                 ELSE commit_seq % 100 + 1000000000000 END AS score
+  FROM ev),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY commit_seq DESC) AS rn
+  FROM scored)
+SELECT doc_id, commit_seq AS last_seq, score, {_DK_ARR2STR} AS tokens_str
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+_ORACLES["cdc_height_adapter"] = f"""
+SELECT doc_id, commit_seq,
+       cast(regexp_extract(doc_id, '(\\d+)$', 1) AS bigint) AS height,
+       CASE WHEN op = 'D' THEN NULL ELSE n_tok END AS n_tok
+FROM ({_EVENTS_DK}) WHERE commit_seq < 2000
 """
 
 _ORACLES["cdc_hot_keys"] = f"""

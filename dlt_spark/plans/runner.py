@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
-from dlt_spark.functions.normalize import normalize_events
+from dlt_spark.adapters import get_adapter
 from dlt_spark.lakehouse import LakehouseTable
 from dlt_spark.operators.dedup import dedup_lww
 from dlt_spark.operators.salt import salted_repartition
@@ -72,6 +72,7 @@ def run_incremental(
     n_buckets: int = 64,
     force: bool = False,
     use_arrow_udf: bool = False,
+    schema: str = "tokens",
     salt: bool = False,
     salt_partitions: int | None = None,
     max_inflight: int = 3,
@@ -88,7 +89,11 @@ def run_incremental(
       where --force duplicates rows (loader/service.go:30-36).
     - ``fail_after_batches`` injects a crash between batch commits for
       the resume test (SURVEY §5).
+    - ``schema`` selects the SchemaAdapter (the reference's config-string
+      schema switch, loader/setup.go:68-78); an adapter object is also
+      accepted.
     """
+    adapter = get_adapter(schema)
     table = LakehouseTable.create(spark, table_path, n_buckets=n_buckets)
     log_df = open_change_log(spark, log_path)
 
@@ -131,7 +136,7 @@ def run_incremental(
 
     def _prepare_once(batch_id: int, lo: int, hi: int) -> dict:
         events = slice_change_log(log_df, lo, hi, log_part_width)
-        normalized = normalize_events(events, use_arrow_udf=use_arrow_udf)
+        normalized = adapter.normalize(events, use_arrow_udf=use_arrow_udf)
         # Salting is OFF by default: the LWW dedup is a hash aggregate
         # with map-side partial aggregation, which already collapses a
         # hot key inside each map task before the shuffle — the classic

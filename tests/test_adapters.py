@@ -1,0 +1,95 @@
+"""SchemaAdapter registry tests (SURVEY §1.2 protocol; reference
+loader/setup.go:68-78 schema switch, schema/tendermint_preprocessed.go
+explode semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dlt_spark.adapters import ADAPTERS, get_adapter
+from dlt_spark.schemas import CHANGE_EVENT_SCHEMA
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+
+def test_registry_switch():
+    assert set(ADAPTERS) == {"tokens", "height", "exploded"}
+    assert get_adapter("height").name == "height"
+    # pass-through of an ad-hoc adapter object
+    class Custom:
+        name = "x"
+        def normalize(self, df, use_arrow_udf=False):
+            return df
+    assert get_adapter(Custom()).name == "x"
+    # unknown name raises (the analog of loader/setup.go:77's panic)
+    with pytest.raises(ValueError, match="unknown schema adapter"):
+        get_adapter("nope")
+
+
+def test_height_adapter_parses_key(spark):
+    rows = [Row(commit_seq=1, doc_id="doc_0000000042", op="I", tokens=[1, 2],
+                payload=None, payload_version=1, source="s", extracted_at=None)]
+    out = get_adapter("height").normalize(_ev(spark, rows)).collect()[0]
+    assert out["height"] == 42 and out["n_tok"] == 2
+
+
+def test_exploded_adapter_children_and_provenance(spark):
+    """One event → block + per-array children with (kind, array_index)
+    provenance (reference :156-208: block, then per-array rows)."""
+    payload = '{"block": [1, 2, 3], "txs": [[4], [5, 6]], "events": [[7]]}'
+    rows = [Row(commit_seq=9, doc_id="h9", op="I", tokens=None,
+                payload=payload, payload_version=1, source="s", extracted_at=None)]
+    out = {r["doc_id"]: r for r in
+           get_adapter("exploded").normalize(_ev(spark, rows)).collect()}
+    assert set(out) == {"h9/block/0", "h9/tx/0", "h9/tx/1", "h9/event/0"}
+    b = out["h9/block/0"]
+    assert b["kind"] == "block" and list(b["tokens"]) == [1, 2, 3] and b["n_tok"] == 3
+    t1 = out["h9/tx/1"]
+    assert (t1["kind"], t1["array_index"], list(t1["tokens"])) == ("tx", 1, [5, 6])
+    assert all(r["parent_doc_id"] == "h9" and r["commit_seq"] == 9
+               for r in out.values())
+
+
+def test_exploded_adapter_missing_arrays_and_delete(spark):
+    """Null/missing arrays yield no children; a delete emits only the
+    block tombstone (upsert-by-PK delete semantics, documented)."""
+    rows = [
+        Row(commit_seq=1, doc_id="a", op="I", tokens=None,
+            payload='{"block": [1]}', payload_version=1, source="s",
+            extracted_at=None),
+        Row(commit_seq=2, doc_id="b", op="D", tokens=None,
+            payload=None, payload_version=1, source="s", extracted_at=None),
+    ]
+    out = get_adapter("exploded").normalize(_ev(spark, rows)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {"a/block/0", "b/block/0"}
+    assert by_id["b/block/0"]["op"] == "D" and by_id["b/block/0"]["tokens"] is None
+
+
+def test_exploded_through_engine_lww(spark, tmp_path):
+    """Child rows ride the shared LWW+MERGE engine independently: an
+    update that shrinks the tx array leaves the stale high-index tx row
+    (upsert-by-PK — the reference's destinations behave identically);
+    updated children win by commit_seq."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.operators.dedup import dedup_lww
+
+    rows = [
+        Row(commit_seq=1, doc_id="p", op="I", tokens=None,
+            payload='{"block": [1], "txs": [[10], [20]]}',
+            payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=2, doc_id="p", op="U", tokens=None,
+            payload='{"block": [9], "txs": [[11]]}',
+            payload_version=1, source="s", extracted_at=None),
+    ]
+    t = LakehouseTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    upd = dedup_lww(get_adapter("exploded").normalize(_ev(spark, rows)))
+    t.merge(upd, "j", 0, 1, 2)
+    out = {r["doc_id"]: r for r in t.read().collect()}
+    assert list(out["p/block/0"]["tokens"]) == [9]   # updated
+    assert list(out["p/tx/0"]["tokens"]) == [11]     # updated
+    assert list(out["p/tx/1"]["tokens"]) == [20]     # stale survivor (doc'd)

@@ -66,6 +66,108 @@ def test_table_level_column_evolution(spark, tmp_path):
         t.merge(ev_df(r4, extra=("lang", F.lit(7))), "j", 3, 5, 5)
 
 
+def _mk_ev(spark, rows, extra=None):
+    from dlt_spark.schemas import CHANGE_EVENT_SCHEMA
+
+    base = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA).withColumn(
+        "n_tok", F.size("tokens")
+    )
+    if extra:
+        name, col = extra
+        base = base.withColumn(name, col)
+    return base
+
+
+def test_type_widening_int_to_long_float_to_double(spark, tmp_path):
+    """Widen evolution (Iceberg analog): a later batch carries a WIDER
+    type for an evolved column (int→long, float→double); the table type
+    widens and files written with the narrower physical type up-cast at
+    scan (Spark 4 parquet widening).  A narrower late batch is accepted
+    as-is (its files up-cast too).  Incompatible changes still reject."""
+    import pytest
+    from pyspark.sql import Row
+
+    t = LakehouseTable.create(spark, str(tmp_path / "t"), n_buckets=4, max_deltas=4)
+
+    def row(seq, doc, op="I", toks=(1,)):
+        return Row(commit_seq=seq, doc_id=doc, op=op, tokens=list(toks),
+                   payload=None, payload_version=1, source="s", extracted_at=None)
+
+    t.merge(_mk_ev(spark, [row(1, "a")], extra=("score", F.lit(7).cast("int"))),
+            "j", 0, 1, 1)
+    assert t.extra_columns == [("score", "int")]
+
+    # wider batch: int → long
+    t.merge(_mk_ev(spark, [row(2, "b")], extra=("score", F.lit(9).cast("bigint"))),
+            "j", 1, 2, 2)
+    assert t.extra_columns == [("score", "bigint")]
+    out = {r["doc_id"]: r for r in t.read().collect()}
+    assert out["a"]["score"] == 7 and out["b"]["score"] == 9  # old file up-cast
+
+    # narrower late batch: accepted, up-cast at read
+    t.merge(_mk_ev(spark, [row(3, "c")], extra=("score", F.lit(3).cast("int"))),
+            "j", 2, 3, 3)
+    assert t.extra_columns == [("score", "bigint")]
+
+    # float column widens to double
+    t.merge(_mk_ev(spark, [row(4, "d")], extra=("conf", F.lit(0.5).cast("float"))),
+            "j", 3, 4, 4)
+    t.merge(_mk_ev(spark, [row(5, "e")], extra=("conf", F.lit(0.25).cast("double"))),
+            "j", 4, 5, 5)
+    assert ("conf", "double") in t.extra_columns
+    # the merge above crossed max_deltas → L0 fold ran over mixed-width files
+    out = {r["doc_id"]: r for r in t.read().collect()}
+    assert out["d"]["conf"] == 0.5 and out["e"]["conf"] == 0.25
+    assert {out[k]["score"] for k in "abc"} == {7, 9, 3}
+
+    # incompatible (string over numeric) still rejects
+    with pytest.raises(ValueError, match="schema evolution conflict"):
+        t.merge(_mk_ev(spark, [row(6, "f")], extra=("score", F.lit("x"))),
+                "j", 5, 6, 6)
+
+
+def test_rename_column_mapping(spark, tmp_path):
+    """Rename evolution: metadata-only — old files keep the physical
+    name, reads coalesce it into the new logical column; post-rename
+    batches write the new name; chains (a→b→c) collapse."""
+    import pytest
+    from pyspark.sql import Row
+
+    t = LakehouseTable.create(spark, str(tmp_path / "t"), n_buckets=4, max_deltas=8)
+
+    def row(seq, doc):
+        return Row(commit_seq=seq, doc_id=doc, op="I", tokens=[1],
+                   payload=None, payload_version=1, source="s", extracted_at=None)
+
+    t.merge(_mk_ev(spark, [row(1, "a")], extra=("lang", F.lit("en"))), "j", 0, 1, 1)
+    t.rename_column("lang", "language")
+    assert t.extra_columns == [("language", "string")]
+    out = {r["doc_id"]: r for r in t.read().collect()}
+    assert out["a"]["language"] == "en"  # pre-rename file coalesces
+
+    # post-rename batch writes the new name; both eras read coherently
+    t.merge(_mk_ev(spark, [row(2, "b")], extra=("language", F.lit("fr"))),
+            "j", 1, 2, 2)
+    out = {r["doc_id"]: r for r in t.read().collect()}
+    assert out["a"]["language"] == "en" and out["b"]["language"] == "fr"
+
+    # chain-collapse: language → locale; files from BOTH earlier eras map
+    t.rename_column("language", "locale")
+    out = {r["doc_id"]: r for r in t.read().collect()}
+    assert out["a"]["locale"] == "en" and out["b"]["locale"] == "fr"
+
+    # compaction folds all eras into the logical name and stays correct
+    t.compact()
+    out = {r["doc_id"]: r for r in t.read().collect()}
+    assert out["a"]["locale"] == "en" and out["b"]["locale"] == "fr"
+
+    # guards: unknown column / collision with an existing name
+    with pytest.raises(ValueError, match="unknown evolved column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("locale", "doc_id")
+
+
 def test_payload_versions_over_time(spark, tmp_path):
     # three epochs with different payload encodings, same logical stream
     parts = []
