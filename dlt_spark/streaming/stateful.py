@@ -52,9 +52,13 @@ def _update(key, pdfs, state):
     for pdf in pdfs:
         if not len(pdf):
             continue
+        # vectorized argmax over the composite (seq, rank) order: ranks
+        # are 1..3 < 4, so seq*4 + rank is order-isomorphic to the tuple
+        # (no per-row Python — the BASELINE mandate applies to state
+        # folds too; seq < 2^61 keeps the product overflow-free)
         ranks = pdf["op"].map(_RANK).astype("int64")
         seqs = pdf["commit_seq"].astype("int64")
-        i = max(range(len(pdf)), key=lambda j: (seqs.iat[j], ranks.iat[j]))
+        i = (seqs * 4 + ranks).to_numpy().argmax()
         cand = (int(seqs.iat[i]), int(ranks.iat[i]))
         if best is None or cand > best:
             best = cand

@@ -1,0 +1,125 @@
+"""ANN quality tests (VERDICT r1 next-#3/#8): recall vs brute force for
+multi-table LSH and trained-IVF, plane-scaling math, determinism.
+
+Recall is asserted on PLANTED near-duplicates (a perturbed copy of each
+corpus vector, cos ≈ 0.99): on uniform random vectors the exact top-k
+has no angular structure, so sign-LSH recall there measures nothing —
+per-plane collision at θ≈66° is ~0.63, i.e. ~2.5% per 8-bit table by
+construction, for random and exhaustive search alike."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_spark.functions.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+    recommended_planes,
+    train_centroids,
+)
+
+SF_DIR = os.environ.get("ENTRY_TEST_SF", "/root/testdata/sf0.001")
+EMB = os.path.join(SF_DIR, "embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(EMB).where(F.col("vec_id") >= 10).cache()
+
+
+@pytest.fixture(scope="module")
+def planted(spark, corpus):
+    """50 queries: corpus vectors with deterministic ±10% multiplicative
+    noise — cos(query, source) ≈ 0.99, everything else far."""
+    return (
+        corpus.where(F.col("vec_id") % 4 == 2)
+        .limit(50)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.col("vec_id").alias("src_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                * (
+                    1.0
+                    + 0.1
+                    * (F.pmod(F.col("vec_id") * 31 + i, F.lit(7)) - 3).cast("double")
+                    / 3.0
+                ),
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+
+
+def _found(approx, planted_pairs) -> float:
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    return sum(1 for p in planted_pairs if p in a) / len(planted_pairs)
+
+
+@pytest.fixture(scope="module")
+def planted_pairs(planted):
+    return [(r["vec_id"], r["src_id"]) for r in planted.select("vec_id", "src_id").collect()]
+
+
+def test_recommended_planes_scaling():
+    # expected bucket ≈ target ⇒ planes grow log2 with corpus
+    assert recommended_planes(10_000, 10_000) == 4      # floor
+    assert recommended_planes(10**7, 10_000) == 10      # 1024 buckets
+    assert recommended_planes(10**10, 10_000) == 20     # the design point
+    assert recommended_planes(10**30, 10_000) == 30     # clamp
+
+
+def test_brute_force_finds_planted(spark, corpus, planted, planted_pairs):
+    exact = brute_force_topk(planted, corpus, k=5)
+    assert _found(exact, planted_pairs) == 1.0
+
+
+def test_lsh_recall_vs_brute_force(spark, corpus, planted, planted_pairs):
+    """n_planes=8 (256-way key space) with 4 OR-ed tables recovers ≥90%
+    of what brute force finds (=100% of planted pairs); more tables
+    never hurt."""
+    lsh4 = lsh_bucket_topk(planted, corpus, dim=64, k=5, n_planes=8, n_tables=4)
+    r4 = _found(lsh4, planted_pairs)
+    lsh1 = lsh_bucket_topk(planted, corpus, dim=64, k=5, n_planes=8, n_tables=1)
+    r1 = _found(lsh1, planted_pairs)
+    assert r4 >= 0.9, f"4-table recall {r4}"
+    assert r4 >= r1, f"OR-recall must not hurt: {r4} < {r1}"
+
+
+def test_ivf_trained_recall_and_determinism(spark, corpus, planted, planted_pairs):
+    """Trained k-means cells: a ±10% perturbed query lands in its
+    source's cell, so nprobe=2 over k=8 trained cells recovers ≥90% of
+    planted pairs; training is deterministic across invocations
+    (hash-sampled init, fixed Lloyd order)."""
+    cents_a = train_centroids(corpus, dim=64, k=8, n_iters=3, sample=512)
+    cents_b = train_centroids(corpus, dim=64, k=8, n_iters=3, sample=512)
+    assert sorted(map(tuple, cents_a.collect())) == sorted(
+        map(tuple, cents_b.collect())
+    )
+    approx = ivf_topk(planted, corpus, centroids=cents_a, k=5, nprobe=2)
+    r = _found(approx, planted_pairs)
+    assert r >= 0.9, f"trained-IVF recall {r}"
+
+
+def test_no_driver_side_row_probe():
+    """VERDICT r1 #3: dim must be explicit — no first-row collect on the
+    data path (code only; the docstring may discuss the rule)."""
+    import ast
+    import inspect
+
+    from dlt_spark.functions import similarity
+
+    tree = ast.parse(inspect.getsource(similarity))
+    probes = [
+        n
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Call)
+        and isinstance(n.func, ast.Attribute)
+        and n.func.attr in ("first", "head", "take")
+    ]
+    assert not probes
