@@ -89,10 +89,59 @@ def main() -> int:
     )
     cdc_secs = time.monotonic() - t0
 
+    # --- MoR read with pending deltas (VERDICT r1 next-#1 done-criterion):
+    # fully compacted base + 7 uncompacted delta commits, then one full
+    # table read.  Tier-1 plan: resolve pending (small) + broadcast-merge
+    # onto base — no Exchange over the base files. ---
+    from dlt_spark.lakehouse import LakehouseTable
+
+    # wide-key log (little key collapse): base ≈ 0.9·n rows — the design
+    # point's shape, a big resolved base with a trickle of fresh deltas
+    log2 = os.path.join(work, "log2")
+    write_change_log(
+        generate_change_log(spark, n_events, n_keys=n_events, seed=43),
+        log2, part_width=part_width,
+    )
+    delta_w = max(1, n_events // 1000)
+    pend_from = n_events - 7 * delta_w
+    tbl2 = os.path.join(work, "tbl2")
+    run_incremental(
+        spark, log2, tbl2, seq_to=pend_from - 1,
+        batch_width=batch_width, n_buckets=64, log_part_width=part_width,
+        use_arrow_udf=use_arrow,
+    )
+    t2 = LakehouseTable.load(spark, tbl2)
+    t2.compact()  # maintenance: base fully materialized, L0/L1 empty
+    run_incremental(  # 7 small commits stay in L0 (max_deltas=8)
+        spark, log2, tbl2, seq_from=pend_from,
+        batch_width=delta_w, n_buckets=64, log_part_width=part_width,
+        use_arrow_udf=use_arrow,
+    )
+    t2 = t2.refresh()
+    assert len(t2._snap["deltas"]) == 7, t2._snap["deltas"]
+    # warm the file-status cache (both plans list the same files; the
+    # first lister would otherwise be billed for the listing)
+    t2.read().write.format("noop").mode("overwrite").save()
+    t0 = time.monotonic()
+    t2.read().write.format("noop").mode("overwrite").save()
+    mor_read_secs = time.monotonic() - t0
+    # tier-3 comparison point (the pre-round-2 plan: full resolve over
+    # base ∪ pending — the O(table) Exchange the tiered read removes)
+    pend_files, _ = t2._pending()
+    base_files = [p for ps in t2._snap["buckets"].values() for p in ps]
+    full = t2._resolve(t2._raw(t2._abs(base_files + pend_files))).where("NOT _deleted")
+    t0 = time.monotonic()
+    full.write.format("noop").mode("overwrite").save()
+    mor_read_t3_secs = time.monotonic() - t0
+
     # --- headline queries at the SF dir ---
     from dlt_spark.entry_queries import QUERIES
 
-    q_times: dict[str, float] = {"cdc_replay": round(cdc_secs, 3)}
+    q_times: dict[str, float] = {
+        "cdc_replay": round(cdc_secs, 3),
+        "mor_read_7deltas": round(mor_read_secs, 3),
+        "mor_read_7deltas_fullresolve": round(mor_read_t3_secs, 3),
+    }
     for name in (
         "cdc_lww_final_state",
         "cdc_batch_lineage",

@@ -19,21 +19,26 @@ semantics rely on, on plain Parquet:
    earlier copy-on-write design whose per-batch cost was O(table) once
    updates touched every bucket — at the 10^10-event design point each
    ingest batch would have rewritten ~100 TB.
-3. **Tiered MoR read** — the read-time LWW resolve never shuffles the
-   base.  Pending (L0+L1) row counts are tracked in snapshot metadata,
-   so the reader picks a plan WITHOUT running a job:
-     tier 1 (pending small): resolve pending (shuffle O(pending)),
-       broadcast the resolved delta and LEFT-join it onto base with an
-       inline per-row LWW comparison — ONE full-width base scan, one
-       doc_id-only base scan for insert detection, ZERO base exchange;
-     tier 2 (pending medium): broadcast only the pending KEY SET,
-       split base into untouched (anti) / touched (semi) streams and
-       resolve touched ∪ pending — two base scans, still no exchange;
-     tier 3 (pending unknown/huge): the plain full resolve (the only
-       tier that shuffles base; reachable only if a writer outruns
-       compaction by >20M keys).
+3. **Tiered MoR read** — the read-time LWW resolve never shuffles a
+   large base.  Pending (L0+L1) and base row counts are tracked in
+   snapshot metadata, so the reader picks a plan WITHOUT running a job:
+     tier 2 (default merge path, base ≫ pending): broadcast the pending
+       KEY SET, split base into untouched (anti) / touched (semi)
+       streams and resolve touched ∪ pending — base is scanned, never
+       exchanged; measured fastest above ~600k base rows (constants in
+       the cost-model comment below);
+     tier 1 (opt-in, I/O-bound object stores): resolve pending,
+       broadcast the resolved delta FULL rows and LEFT-join onto base
+       with an inline per-row LWW struct comparison — ONE full-width
+       base scan (tier 2 takes two) plus a doc_id-only probe, zero
+       base exchange; pays 3 instantiations of the O(pending) resolve,
+       which local measurement shows is only worth it when rescanning
+       base bytes is the dominant cost;
+     tier 3 (small base / unknown metadata / pending >20M keys): the
+       plain full resolve — the only tier that shuffles base, chosen
+       exactly when that shuffle is cheap or unavoidable.
    At the 10^10-event design point every inter-compaction read was a
-   ~100 TB Exchange before this; now it is a broadcast hash join.
+   ~100 TB Exchange before this; now the base never crosses the wire.
 4. **Amortized leveled compaction** — L0 (per-commit, unbucketed) folds
    into bucket-pure L1 every ``max_deltas`` commits (cost O(L0));
    buckets whose L1 count hits a staggered cap fold into fresh bases
@@ -94,6 +99,18 @@ MANIFEST_TAIL = 64
 # broadcasts only the key set (~30 B/key → ≤ ~600 MB at the cap).
 BROADCAST_ROWS_T1 = 1_000_000
 BROADCAST_KEYS_T2 = 20_000_000
+# Merge path pays extra stages + O(pending) resolves; a full resolve
+# pays one shuffle of base∪pending.  Measured crossovers (local[32],
+# tmpfs shuffle, 7 pending deltas — see BENCH/PLANS.md):
+#   base 122k rows: full resolve 1.15s, key-split 1.56s  → resolve wins
+#   base 450k rows: 1.92s vs 2.01s                       → break-even
+#   base 686k rows: 2.95s vs 2.66s                       → key-split wins
+# On a real cluster the gap widens with base size: the full resolve
+# ships the whole base over the network every read, the merge tiers
+# never do.  Below BOTH floors the plain resolve is simply the faster
+# plan and its base shuffle is harmless.
+BASE_OVER_PENDING_MIN = 4
+BASE_ROWS_MIN_MERGE = 600_000
 
 # Parquet widening promotions Spark 4 readers apply at scan time
 # (SPARK-40876): physical type → readable-as types.
@@ -179,6 +196,7 @@ def _normalize_snap(snap: dict) -> dict:
     """
     snap.setdefault("manifest_spill", [])
     snap.setdefault("renames", {})
+    snap.setdefault("base_rows", None)  # legacy: unknown → no cost model
     deltas = snap.get("deltas", [])
     if deltas and isinstance(deltas[0], list):
         snap["deltas"] = [{"files": ps, "rows": None} for ps in deltas]
@@ -239,6 +257,7 @@ class LakehouseTable:
             #     L1 count hits its (staggered) cap — cost O(bucket),
             #     never O(table)
             "buckets": {},
+            "base_rows": 0,  # exact base row count (parquet footers)
             "l1": {},
             "deltas": [],
             # evolved value columns beyond TARGET_SCHEMA: [[name, ddl], …]
@@ -380,16 +399,26 @@ class LakehouseTable:
             rows = None if (rows is None or e["rows"] is None) else rows + e["rows"]
         return files, rows
 
-    def read(self, buckets=None, include_deleted: bool = False) -> DataFrame:
+    def read(
+        self,
+        buckets=None,
+        include_deleted: bool = False,
+        tier: int | None = None,
+    ) -> DataFrame:
         """Current table state (optionally restricted to buckets) —
         tiered MoR resolve, see the module docstring §3.  Base files are
-        bucket-pure and one-row-per-key on disk; the pending (L0+L1) row
-        count in the snapshot picks the plan without running a job.
-        Tombstones filtered unless ``include_deleted``."""
+        bucket-pure and one-row-per-key on disk; the pending (L0+L1) and
+        base row counts in the snapshot pick the plan without running a
+        job: the merge tiers only pay off when base ≫ pending (cost
+        model above BASE_OVER_PENDING_MIN) — on a small or delta-heavy
+        table the plain resolve is both simpler and faster.  ``tier``
+        overrides the choice (diagnostics/tests).  Tombstones filtered
+        unless ``include_deleted``."""
         bm = self._snap["buckets"]
         keys = bm.keys() if buckets is None else [str(b) for b in buckets]
         base_files = [p for k in keys for p in bm.get(k, [])]
         pend_files, pend_rows = self._pending(buckets)
+        base_rows = self._snap.get("base_rows")
 
         def _bucket_filter(df: DataFrame) -> DataFrame:
             if buckets is not None:
@@ -405,13 +434,23 @@ class LakehouseTable:
         else:
             pending = _bucket_filter(self._raw(self._abs(pend_files)))
             base = self._raw(self._abs(base_files))
-            if pend_rows is not None and pend_rows <= BROADCAST_ROWS_T1:
+            if tier is None:
+                if pend_rows is None:
+                    tier = 3  # legacy metadata: conservative
+                elif base_rows is not None and (
+                    base_rows < BASE_OVER_PENDING_MIN * pend_rows
+                    or base_rows < BASE_ROWS_MIN_MERGE
+                ):
+                    tier = 3  # small base: shuffle-all is the cheap plan
+                elif pend_rows <= BROADCAST_KEYS_T2:
+                    tier = 2  # default merge path (measured fastest)
+                else:
+                    tier = 3  # writer outran compaction by >20M keys
+            if tier == 1:
                 out = self._read_merge_t1(base, pending)
-            elif pend_rows is not None and pend_rows <= BROADCAST_KEYS_T2:
+            elif tier == 2:
                 out = self._read_merge_t2(base, pending)
             else:
-                # tier 3: full resolve (the pre-round-2 plan) — only
-                # reachable when a writer outruns compaction by >20M keys
                 out = self._resolve(base.unionByName(pending))
         if not include_deleted:
             out = out.where(~F.col("_deleted"))
@@ -738,6 +777,9 @@ class LakehouseTable:
                 if len(e["files"]) >= self.max_deltas + (int(b) % 4)
             ]
             if over:
+                old_rows = _parquet_rows(
+                    self._abs([p for b in over for p in buckets_map.get(b, [])])
+                )
                 compacted = self._major_compact(
                     buckets_map, l1_map, over, extras=new_extras
                 )
@@ -745,6 +787,21 @@ class LakehouseTable:
                     buckets_map[b] = ps
                 for b in over:
                     l1_map[b] = {"files": [], "rows": 0}
+                new_rows = _parquet_rows(
+                    self._abs([p for b in over for p in buckets_map.get(b, [])])
+                )
+                prev = self._snap.get("base_rows")
+                base_rows = (
+                    prev - old_rows + new_rows
+                    if prev is not None
+                    else _parquet_rows(
+                        self._abs([p for ps in buckets_map.values() for p in ps])
+                    )
+                )
+            else:
+                base_rows = self._snap.get("base_rows")
+        else:
+            base_rows = self._snap.get("base_rows")
 
         manifest = {
             "job_id": job_id,
@@ -761,7 +818,10 @@ class LakehouseTable:
             "data_hash": int(stats["dh"] or 0),
             "delta_files": prepared["files"],
         }
-        self._commit(buckets_map, l1_map, deltas, manifest, extra_cols)
+        self._commit(
+            buckets_map, l1_map, deltas, manifest, extra_cols,
+            base_rows=base_rows,
+        )
         return manifest
 
     def verify_batch(self, job_id: str, batch_id: int) -> bool | None:
@@ -910,6 +970,7 @@ class LakehouseTable:
         manifest: dict,
         extra_columns: list | None = None,
         renames: dict | None = None,
+        base_rows: int | None = None,
     ) -> None:
         job, bid = manifest["job_id"], manifest["batch_id"]
         applied = {k: list(v) for k, v in self._snap["applied"].items()}
@@ -929,6 +990,10 @@ class LakehouseTable:
             "n_buckets": self.n_buckets,
             "max_deltas": self.max_deltas,
             "buckets": buckets_map,
+            "base_rows": (
+                base_rows if base_rows is not None
+                else self._snap.get("base_rows")
+            ),
             "l1": l1_map,
             "deltas": deltas,
             "extra_columns": (
@@ -998,6 +1063,9 @@ class LakehouseTable:
             self._snap,
             version=self.version + 1,
             buckets=buckets_map,
+            base_rows=_parquet_rows(
+                self._abs([p for ps in buckets_map.values() for p in ps])
+            ),
             l1={},
             deltas=[],
         )
@@ -1040,6 +1108,9 @@ class LakehouseTable:
             self._snap,
             version=self.version + 1,
             buckets=buckets_map,
+            base_rows=_parquet_rows(
+                self._abs([p for ps in buckets_map.values() for p in ps])
+            ),
             l1={},
             deltas=[],
         )
