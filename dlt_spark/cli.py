@@ -25,8 +25,14 @@ import time
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--log", required=True, help="change-log parquet root")
-    p.add_argument("--table", required=True, help="lakehouse table root")
+    p.add_argument("--log", default=None, help="change-log parquet root")
+    p.add_argument("--table", default=None, help="lakehouse table root")
+    p.add_argument("--config", default=None,
+                   help="YAML/JSON registry of named sources/destinations/"
+                        "connections (utils/config.go analog)")
+    p.add_argument("--connection", default=None,
+                   help="named connection from --config (replaces "
+                        "--log/--table and per-run knobs)")
     p.add_argument("--job-id", default="dlt")
     p.add_argument("--batch-width", type=int, default=1_000_000)
     p.add_argument("--n-buckets", type=int, default=64)
@@ -67,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(s)
     s.add_argument("--interval-secs", type=float, default=5.0)
     s.add_argument("--max-rounds", type=int, default=0, help="0 = forever")
+    s.add_argument("--metrics-file", default=None,
+                   help="write Prometheus textfile-collector metrics here "
+                        "after each round (utils/prometheus.go analog)")
 
     st = sub.add_parser("status", help="show watermark + manifests")
     st.add_argument("--table", required=True)
@@ -94,7 +103,49 @@ def main(argv: list[str] | None = None) -> int:
     vb.add_argument("--job-id", default="dlt")
     vb.add_argument("--master", default=None)
 
+    ex = sub.add_parser("export", help="export the table's final state "
+                                       "(parquet/csv/json destination layer)")
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--format", default="parquet",
+                    choices=["parquet", "csv", "json"])
+    ex.add_argument("--partitions", type=int, default=None)
+    ex.add_argument("--master", default=None)
+
+    cn = sub.add_parser("conn", help="list named connections from a config "
+                                     "(the reference's `dlt conn` analog)")
+    cn.add_argument("--config", required=True)
+    cn.add_argument("--master", default=None)
+
     args = ap.parse_args(argv)
+
+    # resolve named connection → source/destination/run knobs
+    if getattr(args, "connection", None):
+        from dlt_spark.config import get_connection_details, load_config
+
+        if not args.config:
+            ap.error("--connection requires --config")
+        src, dst, conn = get_connection_details(
+            load_config(args.config), args.connection
+        )
+        args.log, args.table = src.log, dst.table
+        args.schema, args.log_part_width = src.schema, src.log_part_width
+        args.n_buckets = dst.n_buckets
+        args.batch_width, args.max_inflight = conn.batch_width, conn.max_inflight
+        args.arrow_udf = conn.use_arrow_udf
+    if args.cmd in ("load", "sync") and not (args.log and args.table):
+        ap.error("provide --log/--table or --config/--connection")
+
+    if args.cmd == "conn":
+        from dlt_spark.config import all_connections, load_config
+
+        cfg = load_config(args.config)
+        for c in all_connections(cfg):
+            print(json.dumps({
+                "name": c.name, "source": c.source,
+                "destination": c.destination, "batch_width": c.batch_width,
+            }))
+        return 0
 
     from dlt_spark.session import get_spark
 
@@ -139,7 +190,31 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "sync":
+        import signal
+
+        from dlt_spark.lakehouse import LakehouseTable
         from dlt_spark.plans.runner import run_incremental
+
+        # SIGINT-graceful daemon shutdown (cmd/dlt/commands/load.go:62-86,
+        # sync.go:150-170): first signal finishes the in-flight batch and
+        # exits at a committed boundary; a second signal force-exits.
+        stop = {"n": 0}
+
+        def _sigint(_sig, _frm):
+            stop["n"] += 1
+            if stop["n"] >= 2:
+                print(json.dumps({"shutdown": "forced"}), flush=True)
+                raise KeyboardInterrupt
+            print(json.dumps({"shutdown": "graceful-after-batch"}), flush=True)
+
+        signal.signal(signal.SIGINT, _sigint)
+        signal.signal(signal.SIGTERM, _sigint)
+
+        metrics = None
+        if args.metrics_file:
+            from dlt_spark.metrics import MetricsWriter
+
+            metrics = MetricsWriter(args.metrics_file, job_id=args.job_id)
 
         rounds = 0
         while True:
@@ -148,7 +223,10 @@ def main(argv: list[str] | None = None) -> int:
                 batch_width=args.batch_width, n_buckets=args.n_buckets,
                 use_arrow_udf=args.arrow_udf, schema=args.schema,
                 log_part_width=args.log_part_width,
+                stop_requested=lambda: stop["n"] > 0,
             )
+            if metrics:
+                metrics.record_run(res, LakehouseTable.load(spark, args.table))
             print(json.dumps({
                 "round": rounds,
                 "batches_applied": res.batches_applied,
@@ -156,6 +234,10 @@ def main(argv: list[str] | None = None) -> int:
                 "events_per_sec": round(res.events_per_sec, 1),
             }), flush=True)
             rounds += 1
+            if stop["n"]:
+                print(json.dumps({"shutdown": "clean", "rounds": rounds}),
+                      flush=True)
+                return 0
             if args.max_rounds and rounds >= args.max_rounds:
                 return 0
             time.sleep(args.interval_secs)
@@ -197,6 +279,17 @@ def main(argv: list[str] | None = None) -> int:
         t = LakehouseTable.load(spark, args.table)
         n = t.purge_tombstones(args.horizon_seq)
         print(json.dumps({"tombstones_purged": n, "version": t.version}))
+        return 0
+
+    if args.cmd == "export":
+        from dlt_spark.destinations import export_table
+        from dlt_spark.lakehouse import LakehouseTable
+
+        t = LakehouseTable.load(spark, args.table)
+        n = export_table(t, args.out, fmt=args.format,
+                         partitions=args.partitions)
+        print(json.dumps({"exported_rows": n, "format": args.format,
+                          "out": args.out}))
         return 0
 
     if args.cmd == "verify":

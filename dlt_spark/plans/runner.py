@@ -78,6 +78,7 @@ def run_incremental(
     max_inflight: int = 3,
     log_part_width: int = 100_000,
     fail_after_batches: int | None = None,
+    stop_requested=None,
     verbose: bool = False,
 ) -> RunResult:
     """One catch-up run (the `dlt load` analog, SURVEY §3.1/§3.3).
@@ -92,6 +93,11 @@ def run_incremental(
     - ``schema`` selects the SchemaAdapter (the reference's config-string
       schema switch, loader/setup.go:68-78); an adapter object is also
       accepted.
+    - ``stop_requested`` (callable → bool): graceful-shutdown probe
+      checked at each batch boundary — the reference's SIGINT handling
+      finishes the in-flight work then exits (cmd/dlt/commands/
+      load.go:62-86); here a stop leaves the table at a committed batch
+      boundary and the next run resumes from the watermark.
     """
     adapter = get_adapter(schema)
     table = LakehouseTable.create(spark, table_path, n_buckets=n_buckets)
@@ -173,6 +179,8 @@ def run_incremental(
             for i, ((batch_id, lo, hi), fut) in enumerate(zip(work, futs)):
                 if fail_after_batches is not None and i >= fail_after_batches:
                     raise RuntimeError(f"injected crash before batch {batch_id}")
+                if stop_requested is not None and stop_requested():
+                    break  # graceful: last commit is the resume point
                 prepared = fut.result()
                 m = table.commit_delta(
                     prepared, job_id, batch_id, seq_from=lo, seq_to=hi, force=force

@@ -23,9 +23,13 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow is mandatory: BASELINE.json requires vectorized pandas/Arrow
-    # UDFs only — no per-row Python anywhere.
+    # UDFs only — no per-row Python anywhere.  Batch size swept over
+    # 250..200k on the all-evolved normalizer path (bench/arrow_sweep.py,
+    # BENCH/BASELINE.md): 2000 peaks at 63k ev/s — 2.9× the 200k setting
+    # (pipelining: small batches keep every worker fed) and 17% over the
+    # previous 10k default; below 1000 the per-batch IPC overhead bites.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2000",
     # Shuffle parallelism: plenty of partitions, then let AQE coalesce
     # to ~16 MB targets.  Measured on the bench pipeline: 128/16m beats
     # 32/64m at BOTH local[8] and local[32] (smaller reduce tasks keep
