@@ -708,6 +708,38 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: mapInPandas fan-out (3 frames per
+    payload), byte-window kernel stub (documents are ASCII so the oracle
+    reconstructs frames from substrings)."""
+    from dlt_spark.functions.multimodal import frame_sample, media_from_documents
+
+    _views(spark, sf_dir, "documents")
+    media = media_from_documents(spark.table("documents").where(F.col("doc_id") < 200))
+    frames = frame_sample(media, n_frames=3, frame_size=16)
+    return frames.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_index").cast("bigint").alias("frame_index"),
+        "frame_start",
+        F.decode(F.col("frame"), "utf-8").alias("frame_text"),
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: mapInPandas even-stride byte downsample to 24
+    bytes (nearest-neighbor stand-in), byte-exact oracle via substr."""
+    from dlt_spark.functions.multimodal import media_from_documents, resize_media
+
+    _views(spark, sf_dir, "documents")
+    media = media_from_documents(spark.table("documents").where(F.col("doc_id") < 200))
+    out = resize_media(media, target_bytes=24)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "mime",
+        F.decode(F.col("data"), "utf-8").alias("resized_text"),
+    )
+
+
 def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding count + mean L2 norm."""
     _views(spark, sf_dir, "embeddings")
@@ -812,6 +844,8 @@ QUERIES = {
     "emb_ann_ivf_trained": q_emb_ann_ivf_trained,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize": q_multimodal_resize,
     "emb_norm_stats": q_emb_norm_stats,
     "docs_lang_id": q_docs_lang_id,
     "docs_quality_score": q_docs_quality_score,
@@ -1212,6 +1246,29 @@ SELECT doc_id,
            i -> ascii(substr(text, cast(floor(i * length(text) / 4) AS int) + 1, 1))),
            ',') AS samples_str
 FROM documents
+"""
+
+# frame j of size F over n bytes starts at (j*(n-F))//(n_frames-1),
+# clamped at 0 — substr is 1-based in DuckDB; documents are ASCII so
+# bytes == characters.
+_ORACLES["multimodal_frame_sample"] = """
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 200)
+SELECT doc_id, cast(u.j AS bigint) AS frame_index,
+       cast((u.j * greatest(0, n - 16)) // 2 AS bigint) AS frame_start,
+       substr(text, cast((u.j * greatest(0, n - 16)) // 2 AS int) + 1, 16) AS frame_text
+FROM m, LATERAL (SELECT unnest(range(3)) AS j) u
+"""
+
+_ORACLES["multimodal_resize"] = """
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 200)
+SELECT doc_id, 'text/plain' AS mime,
+       CASE WHEN n = 0 THEN NULL
+            ELSE array_to_string(
+              list_transform(range(24),
+                             i -> substr(text, cast((i * n) // 24 AS int) + 1, 1)),
+              '')
+       END AS resized_text
+FROM m
 """
 
 _ORACLES["emb_norm_stats"] = """

@@ -104,6 +104,85 @@ def extract_features(media: DataFrame, n_samples: int = 4) -> DataFrame:
     return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame_start", LongType(), True),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 3, frame_size: int = 16) -> DataFrame:
+    """Frame sampling (video analog): emit ``n_frames`` evenly-spaced
+    fixed-size windows per payload — a mapInPandas stage whose output
+    FANS OUT (rows out > rows in), the batch shape a real video
+    frame-sampler has.  Kernel is the byte-window stub (no codecs in
+    this container); frame j starts at ``(j·(n-size))//(n_frames-1)``,
+    clamped — deterministic and SQL-reproducible for the oracle.
+    No shuffle added: preserves scan partitioning like extract_features."""
+    if _real_decoder_available():  # pragma: no cover
+        raise NotImplementedError(
+            "real codec path not wired in this build; use the stub"
+        )
+
+    def _batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                if data is None:
+                    continue
+                n = len(data)
+                span = max(0, n - frame_size)
+                for j in range(n_frames):
+                    start = (j * span) // max(1, n_frames - 1)
+                    rows.append(
+                        (mid, j, start, bytes(data[start : start + frame_size]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "frame_start", "frame"]
+            )
+
+    return media.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+def resize_media(media: DataFrame, target_bytes: int = 32) -> DataFrame:
+    """Resize (image analog): downsample each payload to exactly
+    ``target_bytes`` by even-stride byte sampling — the byte-stream
+    stand-in for nearest-neighbor resize, same mapInPandas signature a
+    real resizer (decode → resample → re-encode) would have.  Sample i
+    reads offset ``(i·n)//target`` (duplicates when n < target), so the
+    oracle regenerates it in SQL."""
+    if _real_decoder_available():  # pragma: no cover
+        raise NotImplementedError(
+            "real codec path not wired in this build; use the stub"
+        )
+
+    def _batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out_rows = []
+            for mid, mime, data in zip(pdf["media_id"], pdf["mime"], pdf["data"]):
+                if data is None or len(data) == 0:
+                    out_rows.append((mid, mime, None))
+                    continue
+                n = len(data)
+                out_rows.append(
+                    (
+                        mid,
+                        mime,
+                        bytes(data[(i * n) // target_bytes] for i in range(target_bytes)),
+                    )
+                )
+            yield pd.DataFrame(out_rows, columns=["media_id", "mime", "data"])
+
+    return media.mapInPandas(_batches, schema=MEDIA_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a deterministic media table from the documents fixture:
     payload = utf-8 bytes of the text (ASCII by construction, so byte

@@ -150,3 +150,46 @@ def test_deterministic_row_id_matches_sha256(spark):
         deterministic_row_id(F.col("doc_id"), F.col("commit_seq")).alias("r")
     ).collect()[0]["r"]
     assert rid == hashlib.sha256(b"a|42").hexdigest()
+
+
+def test_multimodal_frame_sample_fanout_no_shuffle(spark):
+    """frame_sample fans out rows (n_frames per payload) inside ONE
+    mapInPandas stage — no Exchange added (preserves scan partitioning),
+    the batch shape a real frame-sampler needs."""
+    from pyspark.sql import functions as F
+
+    from dlt_spark.functions.multimodal import frame_sample
+
+    media = spark.range(10).select(
+        F.col("id").alias("media_id"),
+        F.lit("video/fake").alias("mime"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string"),
+                          F.lit("-" * 40)), "utf-8").alias("data"),
+    )
+    frames = frame_sample(media, n_frames=3, frame_size=8)
+    assert frames.count() == 30
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = frames.where(F.col("media_id") == 4).orderBy("frame_index").collect()
+    assert [r["frame_index"] for r in rows] == [0, 1, 2]
+    assert rows[0]["frame_start"] == 0 and rows[0]["frame"] == b"payload-"
+    assert all(len(r["frame"]) == 8 for r in rows)
+
+
+def test_multimodal_resize_exact_target(spark):
+    from pyspark.sql import functions as F
+
+    from dlt_spark.functions.multimodal import resize_media
+
+    media = spark.range(5).select(
+        F.col("id").alias("media_id"),
+        F.lit("image/fake").alias("mime"),
+        F.encode(F.lpad(F.col("id").cast("string"), 100, "x"), "utf-8").alias("data"),
+    )
+    out = resize_media(media, target_bytes=16).collect()
+    assert all(len(r["data"]) == 16 for r in out)
+    # even-stride sampling is deterministic: byte i comes from (i*n)//16
+    src = ("x" * 99 + "3").encode()
+    expect = bytes(src[(i * 100) // 16] for i in range(16))
+    got = next(r for r in out if r["media_id"] == 3)["data"]
+    assert bytes(got) == expect
