@@ -43,6 +43,7 @@ def main() -> int:
     n_events = int(os.environ.get("BENCH_EVENTS", str(int(30_000_000 * sf))))
     batch_count = int(os.environ.get("BENCH_BATCHES", "8"))
     use_arrow = os.environ.get("BENCH_ARROW_UDF", "0") == "1"
+    max_inflight = int(os.environ.get("BENCH_MAX_INFLIGHT", "4"))
 
     from dlt_spark.plans.runner import run_incremental
     from dlt_spark.session import get_spark
@@ -86,6 +87,7 @@ def main() -> int:
         n_buckets=64,
         log_part_width=part_width,
         use_arrow_udf=use_arrow,
+        max_inflight=max_inflight,
     )
     cdc_secs = time.monotonic() - t0
 

@@ -42,8 +42,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--schema", default="tokens",
                    help="schema adapter: tokens | height | exploded "
                         "(reference loader/setup.go:68-78 switch)")
-    p.add_argument("--max-inflight", type=int, default=3,
-                   help="concurrent batch preparations (commits stay ordered)")
+    p.add_argument("--max-inflight", type=int, default=4,
+                   help="concurrent batch preparations (commits stay ordered; "
+                        "4 measured best at the bench point)")
     p.add_argument("--master", default=None, help="spark master override")
 
 

@@ -75,7 +75,13 @@ def run_incremental(
     schema: str = "tokens",
     salt: bool = False,
     salt_partitions: int | None = None,
-    max_inflight: int = 3,
+    # pipelining depth swept at the sf0.1 bench point (3.15M events, 8
+    # batches, local[32]; within-session, interleaved, median of 3 with
+    # tmpfs kept flat): 3→131k, 4→166k, 5→138k, 6→109k ev/s.  Across
+    # fresh sessions 3-vs-4 is inside environment noise (±15%); 5+ is
+    # reliably worse (queued preparations contend with the in-flight
+    # batch's own stages).
+    max_inflight: int = 4,
     log_part_width: int = 100_000,
     fail_after_batches: int | None = None,
     stop_requested=None,

@@ -55,3 +55,65 @@ def test_dedup_lww_matches_fold(spark_global, events):
         for r in dedup_lww(df).collect()
     }
     assert got == _oracle_winner(events)
+
+
+@st.composite
+def batched_logs(draw):
+    """Random op stream split into random batches, with a compaction
+    point — drives the table through base+L1+L0 mixtures."""
+    n = draw(st.integers(min_value=4, max_value=40))
+    events = []
+    for i in range(n):
+        events.append(
+            {
+                "commit_seq": i,  # unique seqs (the log contract)
+                "doc_id": draw(st.sampled_from(["a", "b", "c", "d", "e"])),
+                "op": draw(OPS),
+                "tokens": [i],
+                "payload": None,
+                "payload_version": 1,
+                "source": "s",
+                "extracted_at": None,
+            }
+        )
+    n_cuts = draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(draw(st.sets(st.integers(min_value=1, max_value=n - 1),
+                               min_size=n_cuts, max_size=n_cuts)))
+    compact_after = draw(st.integers(min_value=0, max_value=len(cuts)))
+    return events, cuts, compact_after
+
+
+@settings(max_examples=6, deadline=None)
+@given(batched_logs())
+def test_tiered_reads_agree_across_states(spark_global, tmp_path_factory, data):
+    """All three read tiers return the same state as the op fold, for
+    random batch splits and an arbitrary mid-stream compaction (base+
+    L1+L0 mixtures) — the tier choice is a pure performance decision."""
+    import pyspark.sql.functions as F
+
+    from dlt_spark.lakehouse import LakehouseTable
+
+    events, cuts, compact_after = data
+    path = str(tmp_path_factory.mktemp("prop") / "t")
+    t = LakehouseTable.create(spark_global, path, n_buckets=4, max_deltas=3)
+    bounds = [0] + list(cuts) + [len(events)]
+    for b, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        batch = events[lo:hi]
+        if not batch:
+            continue
+        df = spark_global.createDataFrame(batch, CHANGE_EVENT_SCHEMA).withColumn(
+            "n_tok", F.size("tokens")
+        )
+        t.merge(dedup_lww(df), "p", b, lo, hi - 1)
+        if b == compact_after:
+            t.compact()
+
+    full_expect = _oracle_winner(events)
+    expect = {k: v for k, v in full_expect.items() if v[1] != 3}  # live only
+    for tier in (None, 1, 2, 3):
+        got = {
+            r["doc_id"]: r["_commit_seq"] for r in t.read(tier=tier).collect()
+        }
+        assert set(got) == set(expect), f"tier={tier}"
+        for k, seq in got.items():
+            assert seq == full_expect[k][0], f"tier={tier} key={k}"
