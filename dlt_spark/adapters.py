@@ -85,11 +85,19 @@ class ExplodedAdapter:
     ``array_index`` and ``parent_doc_id`` ride as evolved value columns.
 
     Delete semantics (the reference has none — its log is append-only):
-    op='D' tombstones the block child; sub-rows of an earlier version
-    persist until individually deleted, exactly the upsert-by-PK
-    behavior the reference's destinations exhibit."""
+    by default op='D' tombstones the block child; sub-rows of an earlier
+    version persist until individually deleted, exactly the upsert-by-PK
+    behavior the reference's destinations exhibit.  With
+    ``cascade_deletes=True`` the runner additionally expands each parent
+    delete into tombstones for every child key the parent has — in the
+    table (bucket-pruned broadcast-semi read) and earlier in the same
+    batch — giving true whole-document deletes; plain LWW then settles
+    ordering (a child re-introduced at a higher seq survives)."""
 
     name = "exploded"
+
+    def __init__(self, cascade_deletes: bool = False):
+        self.cascade_deletes = cascade_deletes
 
     def normalize(self, df: DataFrame, use_arrow_udf: bool = False) -> DataFrame:
         p = F.from_json(F.col("payload"), _EXPLODED_PAYLOAD)
@@ -137,9 +145,71 @@ class ExplodedAdapter:
         )
 
 
+    def expand_deletes(self, normalized: DataFrame, table) -> DataFrame:
+        """Cascade expansion (runner hook, called between normalize and
+        dedup when ``cascade_deletes``): for each parent-delete event,
+        emit one tombstone per candidate child key at the delete's seq.
+
+        Candidates = the parent's live children in the TABLE (reads only
+        the parents' buckets? no — child keys hash independently, so
+        this is a broadcast-semi filter on parent_doc_id over the table
+        read; deletes per batch are few, the broadcast is tiny) plus
+        children produced EARLIER IN THIS BATCH (visible only here).
+        Duplicate tombstones for a key collapse in the downstream LWW
+        dedup; a child re-inserted at seq > delete_seq wins the resolve.
+        """
+        if not self.cascade_deletes:
+            return normalized
+        dels = (
+            normalized.where(F.col("op") == "D")
+            .select(
+                F.col("parent_doc_id").alias("p"),
+                F.col("commit_seq").alias("del_seq"),
+                F.col("source").alias("del_source"),
+            )
+            .distinct()
+        )
+        in_batch = normalized.where(F.col("op") != "D").select(
+            "doc_id", "kind", "array_index", "parent_doc_id",
+            F.col("commit_seq").alias("child_seq"),
+        )
+        tdf = table.read()
+        if "kind" in tdf.columns:  # empty fresh table has no extras yet
+            in_table = tdf.select(
+                "doc_id", "kind", "array_index", "parent_doc_id"
+            ).withColumn("child_seq", F.lit(-1).cast("long"))
+            cand = in_table.unionByName(in_batch)
+        else:
+            cand = in_batch
+        tombs = (
+            cand.join(F.broadcast(dels), cand["parent_doc_id"] == dels["p"])
+            .where(F.col("child_seq") < F.col("del_seq"))
+            .select(
+                "doc_id",
+                F.lit("D").alias("op"),
+                F.lit(None).cast("array<int>").alias("tokens"),
+                F.lit(None).cast("int").alias("n_tok"),
+                F.col("del_source").alias("source"),
+                F.col("del_seq").alias("commit_seq"),
+                "kind",
+                "array_index",
+                "parent_doc_id",
+            )
+            .dropDuplicates(["doc_id", "commit_seq"])
+        )
+        return normalized.unionByName(tombs)
+
+
 ADAPTERS: dict[str, SchemaAdapter] = {
-    a.name: a for a in (TokensAdapter(), HeightAdapter(), ExplodedAdapter())
+    a.name: a
+    for a in (
+        TokensAdapter(),
+        HeightAdapter(),
+        ExplodedAdapter(),
+    )
 }
+ADAPTERS["exploded_cascade"] = ExplodedAdapter(cascade_deletes=True)
+ADAPTERS["exploded_cascade"].name = "exploded_cascade"
 
 
 def get_adapter(name_or_adapter) -> SchemaAdapter:

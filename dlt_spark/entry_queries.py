@@ -331,6 +331,44 @@ def q_cdc_exploded_adapter_final_state(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def q_cdc_exploded_cascade_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade document deletes on the exploded schema: a parent D event
+    tombstones every child key the parent has (engine expands deletes
+    against table state + in-batch history; LWW settles re-inserts).
+    Final-state law the oracle mirrors: a child is live iff its newest
+    containing insert outranks every parent delete."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+
+    _views(spark, sf_dir, "orders")
+    base = spark.sql(_EXP_EVENTS_SP)
+    events = base.select(
+        "commit_seq", "doc_id", "op",
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.when(F.col("op") != "D",
+               F.to_json(F.struct("block", "txs", "events"))).alias("payload"),
+        F.lit(1).alias("payload_version"),
+        "source",
+        F.current_timestamp().alias("extracted_at"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dlt_cascade_")
+    log_path = os.path.join(tmp, "log")
+    tbl_path = os.path.join(tmp, "tbl")
+    write_change_log(events, log_path, part_width=1_000)
+    run_incremental(
+        spark, log_path, tbl_path, schema="exploded_cascade",
+        batch_width=1_000, n_buckets=8, log_part_width=1_000,
+    )
+    t = LakehouseTable.load(spark, tbl_path)
+    return t.read().select(
+        "doc_id", "kind", "array_index", "parent_doc_id",
+        F.col("_commit_seq").alias("last_seq"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.array_join(F.col("tokens").cast("array<string>"), ",").alias("tokens_str"),
+    )
+
+
 def q_cdc_widened_column_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution fold across a TYPE WIDEN (VERDICT r1 next-#6):
     early batches carry an int `score` value column, later batches a
@@ -827,6 +865,7 @@ QUERIES = {
     "cdc_normalize_versions": q_cdc_normalize_versions,
     "cdc_explode_provenance": q_cdc_explode_provenance,
     "cdc_exploded_adapter_final_state": q_cdc_exploded_adapter_final_state,
+    "cdc_exploded_cascade_final_state": q_cdc_exploded_cascade_final_state,
     "cdc_widened_column_final_state": q_cdc_widened_column_final_state,
     "cdc_height_adapter": q_cdc_height_adapter,
     "cdc_hot_keys": q_cdc_hot_keys,
@@ -963,6 +1002,44 @@ SELECT doc_id, kind, array_index, parent_doc_id,
        commit_seq AS last_seq, cast(len(toks) AS bigint) AS n_tok, source,
        array_to_string(toks, ',') AS tokens_str
 FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+# Cascade-delete law (see q_cdc_exploded_cascade_final_state): a child
+# is live iff its newest containing insert outranks every parent delete.
+_ORACLES["cdc_exploded_cascade_final_state"] = f"""
+WITH ev AS ({_EXP_EV_DK}),
+children AS (
+  SELECT doc_id || '/block/0' AS doc_id, 'block' AS kind,
+         cast(0 AS bigint) AS array_index, doc_id AS parent_doc_id,
+         commit_seq,
+         list_transform(range(commit_seq % 13 + 3),
+                        i -> (commit_seq * (i + 7)) % 1000) AS toks
+  FROM ev WHERE op <> 'D'
+  UNION ALL
+  SELECT doc_id || '/tx/' || u.j, 'tx', cast(u.j AS bigint), doc_id,
+         commit_seq,
+         list_transform(range((commit_seq + u.j) % 5 + 2),
+                        k -> (commit_seq * (u.j + 3) + k) % 1000)
+  FROM ev, LATERAL (SELECT unnest(range(ev.commit_seq % 4)) AS j) u
+  WHERE op <> 'D'
+  UNION ALL
+  SELECT doc_id || '/event/' || u.j, 'event', cast(u.j AS bigint), doc_id,
+         commit_seq,
+         list_transform(range((commit_seq + 2 * u.j) % 4 + 1),
+                        k -> (commit_seq * (u.j + 11) + 2 * k) % 1000)
+  FROM ev, LATERAL (SELECT unnest(range((ev.commit_seq + 1) % 3)) AS j) u
+  WHERE op <> 'D'),
+del_max AS (
+  SELECT doc_id AS p, max(commit_seq) AS dmax FROM ev WHERE op = 'D' GROUP BY 1),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY commit_seq DESC) AS rn
+  FROM children)
+SELECT doc_id, kind, array_index, parent_doc_id,
+       commit_seq AS last_seq, cast(len(toks) AS bigint) AS n_tok,
+       array_to_string(toks, ',') AS tokens_str
+FROM ranked r LEFT JOIN del_max d ON r.parent_doc_id = d.p
+WHERE rn = 1 AND (d.dmax IS NULL OR r.commit_seq > d.dmax)
 """
 
 _ORACLES["cdc_widened_column_final_state"] = f"""

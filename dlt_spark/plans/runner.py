@@ -149,6 +149,10 @@ def run_incremental(
     def _prepare_once(batch_id: int, lo: int, hi: int) -> dict:
         events = slice_change_log(log_df, lo, hi, log_part_width)
         normalized = adapter.normalize(events, use_arrow_udf=use_arrow_udf)
+        if hasattr(adapter, "expand_deletes"):
+            # cascade adapters rewrite deletes against current table
+            # state (runs under sequential prepare — see below)
+            normalized = adapter.expand_deletes(normalized, table)
         # Salting is OFF by default: the LWW dedup is a hash aggregate
         # with map-side partial aggregation, which already collapses a
         # hot key inside each map task before the shuffle — the classic
@@ -177,6 +181,27 @@ def run_incremental(
         if force or not table.is_applied(job_id, batch_id)
     ]
     skipped = len(batches) - len(work)
+    # Cascade-delete adapters read the table inside prepare, so batch
+    # k+1's prepare must observe batch k's commit: strict prepare→commit
+    # alternation instead of the pipeline.
+    if getattr(adapter, "cascade_deletes", False):
+        for batch_id, lo, hi in work:
+            if stop_requested is not None and stop_requested():
+                break
+            prepared = _prepare(batch_id, lo, hi)
+            m = table.commit_delta(
+                prepared, job_id, batch_id, seq_from=lo, seq_to=hi, force=force
+            )
+            manifests.append(m)
+            applied += 1
+            ev_read += m["events_read"]
+            ev_applied += m["events_applied"]
+            dels += m["deletes_applied"]
+        wall = time.monotonic() - t0
+        return RunResult(
+            job_id, len(batches), applied, skipped,
+            ev_read, ev_applied, dels, wall, manifests,
+        )
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=max(1, max_inflight)) as pool:

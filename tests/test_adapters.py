@@ -17,7 +17,7 @@ def _ev(spark, rows):
 
 
 def test_registry_switch():
-    assert set(ADAPTERS) == {"tokens", "height", "exploded"}
+    assert set(ADAPTERS) == {"tokens", "height", "exploded", "exploded_cascade"}
     assert get_adapter("height").name == "height"
     # pass-through of an ad-hoc adapter object
     class Custom:
@@ -68,6 +68,42 @@ def test_exploded_adapter_missing_arrays_and_delete(spark):
     by_id = {r["doc_id"]: r for r in out}
     assert set(by_id) == {"a/block/0", "b/block/0"}
     assert by_id["b/block/0"]["op"] == "D" and by_id["b/block/0"]["tokens"] is None
+
+
+def test_exploded_cascade_delete_through_engine(spark, tmp_path):
+    """exploded_cascade: a parent delete tombstones EVERY child the
+    parent had (table state + earlier in-batch); a later re-insert
+    revives only its own children — stale children stay dead."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+
+    rows = [
+        Row(commit_seq=1, doc_id="p", op="I", tokens=None,
+            payload='{"block": [1], "txs": [[10], [20]]}',
+            payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=2, doc_id="q", op="I", tokens=None,
+            payload='{"block": [5], "txs": [[50]]}',
+            payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=3, doc_id="p", op="D", tokens=None,
+            payload=None, payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=4, doc_id="p", op="I", tokens=None,
+            payload='{"block": [9], "txs": [[11]]}',
+            payload_version=1, source="s", extracted_at=None),
+    ]
+    log = str(tmp_path / "log")
+    tbl = str(tmp_path / "tbl")
+    write_change_log(_ev(spark, rows), log, part_width=2)
+    # two batches so the delete cascades against TABLE state (batch 1)
+    # and the re-insert lands after it (same batch as the delete)
+    run_incremental(spark, log, tbl, schema="exploded_cascade",
+                    batch_width=2, n_buckets=4, log_part_width=2)
+    out = {r["doc_id"]: r for r in LakehouseTable.load(spark, tbl).read().collect()}
+    assert set(out) == {"p/block/0", "p/tx/0", "q/block/0", "q/tx/0"}
+    assert list(out["p/block/0"]["tokens"]) == [9]   # re-inserted version
+    assert list(out["p/tx/0"]["tokens"]) == [11]     # new child
+    # p/tx/1 (from the deleted version) is GONE — the cascade killed it
+    assert list(out["q/tx/0"]["tokens"]) == [50]     # other parent intact
 
 
 def test_exploded_through_engine_lww(spark, tmp_path):
