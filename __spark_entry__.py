@@ -7,7 +7,10 @@ normalization, explode-with-provenance, skew profile) plus the
 training-data pipeline ops (exact/MinHash/SimHash/Jaccard dedup,
 cosine top-k similarity, language-ID, quality scoring, token counting,
 fingerprinting).  Implementations live in dlt_spark/entry_queries.py;
-oracle_sql() returns the DuckDB-equivalent SQL for every query.
+oracle_sql() returns the DuckDB-equivalent SQL for every query except
+those declared in entry_queries.NO_ORACLE (currently only the trained
+k-means IVF — float iteration order is not SQL-reproducible; the driver
+records its rows-only check and pytest asserts recall + determinism).
 """
 
 from __future__ import annotations
