@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql.types import LongType, StructField, StructType
 
-from dlt_spark.functions.normalize import normalize_events
+from dlt_spark.adapters import get_adapter
 from dlt_spark.lakehouse import LakehouseTable
 from dlt_spark.operators.dedup import dedup_lww
 from dlt_spark.schemas import CHANGE_EVENT_SCHEMA
@@ -48,6 +48,7 @@ def run_stream_sync(
     job_id: str = "stream",
     n_buckets: int = 64,
     use_arrow_udf: bool = False,
+    schema: str = "tokens",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     timeout_secs: float | None = None,
@@ -55,8 +56,12 @@ def run_stream_sync(
     """Drain the change log into the table via Structured Streaming.
 
     With ``available_now=True`` (default) processes everything present
-    and returns; otherwise runs until ``timeout_secs``.
+    and returns; otherwise runs until ``timeout_secs``.  ``schema``
+    selects the SchemaAdapter (same switch as the batch runner); epochs
+    are file-grained so cascade adapters (which must observe the prior
+    commit) are safe here too — foreachBatch epochs are strictly serial.
     """
+    adapter = get_adapter(schema)
     table = LakehouseTable.create(spark, table_path, n_buckets=n_buckets)
 
     reader = spark.readStream.schema(_STREAM_SCHEMA)
@@ -68,7 +73,9 @@ def run_stream_sync(
         t = LakehouseTable.load(spark, table_path)
         if t.is_applied(job_id, epoch_id):
             return  # checkpoint replay of an already-committed epoch
-        normalized = normalize_events(batch_df, use_arrow_udf=use_arrow_udf)
+        normalized = adapter.normalize(batch_df, use_arrow_udf=use_arrow_udf)
+        if hasattr(adapter, "expand_deletes"):
+            normalized = adapter.expand_deletes(normalized, t)
         updates = dedup_lww(normalized, with_counts=True)
         t.merge(updates, job_id=job_id, batch_id=epoch_id)
 
