@@ -248,12 +248,19 @@ def main(argv: list[str] | None = None) -> int:
 
         t = LakehouseTable.load(spark, args.table)
         rows = t.read().count()
+        pend_files, pend_rows = t._pending()
         print(json.dumps({
             "version": t.version,
             "watermark": t.watermark(),
             "n_buckets": t.n_buckets,
             "rows": rows,
+            "base_rows": t._snap.get("base_rows"),
+            "pending_rows": pend_rows,
+            "pending_commits": len(t._snap["deltas"]),
+            "pending_files": len(pend_files),
             "batches_applied": t.applied_count(),
+            "manifest_tail": len(t._snap["manifests"]),
+            "manifest_spill_files": len(t._snap.get("manifest_spill", [])),
             "last_manifest": (t._snap["manifests"] or [None])[-1],
         }, indent=2))
         return 0

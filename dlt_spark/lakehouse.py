@@ -1142,23 +1142,32 @@ class LakehouseTable:
             os.path.join(self.path, rel)
             for rel in self._live_files()
         }
+        # manifest spill sidecars: a writer that lost a snapshot-conflict
+        # race may have written one that was never referenced
+        live |= {
+            os.path.join(self.path, rel)
+            for rel in self._snap.get("manifest_spill", [])
+        }
         now = time.time()
         removed = 0
-        data_root = os.path.join(self.path, _DATA_DIR)
-        for dirpath, _dirs, fnames in os.walk(data_root, topdown=False):
-            for fn in fnames:
-                p = os.path.join(dirpath, fn)
-                if not p.endswith(".parquet") or p in live:
-                    continue
-                try:
-                    age = now - os.path.getmtime(p)
-                except OSError:
-                    continue
-                if age >= grace_secs:
-                    os.unlink(p)
-                    removed += 1
-            if not os.listdir(dirpath) and dirpath != data_root:
-                os.rmdir(dirpath)
+        for root in (_DATA_DIR, _MANIFEST_DIR):
+            top = os.path.join(self.path, root)
+            if not os.path.isdir(top):
+                continue
+            for dirpath, _dirs, fnames in os.walk(top, topdown=False):
+                for fn in fnames:
+                    p = os.path.join(dirpath, fn)
+                    if not p.endswith(".parquet") or p in live:
+                        continue
+                    try:
+                        age = now - os.path.getmtime(p)
+                    except OSError:
+                        continue
+                    if age >= grace_secs:
+                        os.unlink(p)
+                        removed += 1
+                if not os.listdir(dirpath) and dirpath != top:
+                    os.rmdir(dirpath)
         return removed
 
     def _live_files(self) -> list[str]:
