@@ -80,7 +80,23 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("status", help="show watermark + manifests")
     st.add_argument("--table", required=True)
+    st.add_argument("--at-version", type=int, default=None,
+                    help="time-travel: inspect a retained older snapshot")
     st.add_argument("--master", default=None)
+
+    hi = sub.add_parser("history", help="list retained snapshots")
+    hi.add_argument("--table", required=True)
+    hi.add_argument("--master", default=None)
+
+    ch = sub.add_parser("changes", help="incremental change feed between "
+                                        "snapshot versions (CDC-out)")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-version", type=int, required=True)
+    ch.add_argument("--to-version", type=int, default=None)
+    ch.add_argument("--out", default=None,
+                    help="write the change rows as parquet here "
+                         "(default: print the count)")
+    ch.add_argument("--master", default=None)
 
     v = sub.add_parser("vacuum", help="remove unreferenced data files")
     v.add_argument("--table", required=True)
@@ -243,10 +259,30 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             time.sleep(args.interval_secs)
 
-    if args.cmd == "status":
+    if args.cmd == "history":
         from dlt_spark.lakehouse import LakehouseTable
 
         t = LakehouseTable.load(spark, args.table)
+        for row in t.history():
+            print(json.dumps(row))
+        return 0
+
+    if args.cmd == "changes":
+        from dlt_spark.lakehouse import LakehouseTable
+
+        t = LakehouseTable.load(spark, args.table)
+        df = t.changes_between(args.from_version, args.to_version)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"out": args.out, "rows": df.count()}))
+        else:
+            print(json.dumps({"rows": df.count()}))
+        return 0
+
+    if args.cmd == "status":
+        from dlt_spark.lakehouse import LakehouseTable
+
+        t = LakehouseTable.load(spark, args.table, version=args.at_version)
         rows = t.read().count()
         pend_files, pend_rows = t._pending()
         print(json.dumps({

@@ -275,13 +275,74 @@ class LakehouseTable:
         return cls(spark, path, snap)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "LakehouseTable":
+    def load(
+        cls, spark: SparkSession, path: str, version: int | None = None
+    ) -> "LakehouseTable":
+        """Open the table at the latest snapshot, or TIME-TRAVEL to an
+        older retained ``version`` (Iceberg `VERSION AS OF` analog —
+        snapshots are immutable JSON files, so a point-in-time handle is
+        a plain read of that file; its data files remain valid until a
+        vacuum below the retention window removes superseded ones)."""
         snap_dir = os.path.join(path, _SNAP_DIR)
-        v = _latest_version(snap_dir)
-        if v is None:
-            raise FileNotFoundError(f"no snapshots under {snap_dir}")
-        with open(os.path.join(snap_dir, _snap_name(v))) as f:
+        if version is None:
+            version = _latest_version(snap_dir)
+            if version is None:
+                raise FileNotFoundError(f"no snapshots under {snap_dir}")
+        snap_file = os.path.join(snap_dir, _snap_name(version))
+        if not os.path.exists(snap_file):
+            raise FileNotFoundError(
+                f"snapshot v{version} not found under {snap_dir}"
+            )
+        with open(snap_file) as f:
             return cls(spark, path, json.load(f))
+
+    def history(self) -> list[dict]:
+        """Retained snapshots, oldest first: version, commit summary —
+        the Iceberg `table.history()` analog, driver-side metadata only."""
+        snap_dir = os.path.join(self.path, _SNAP_DIR)
+        out = []
+        for fn in sorted(os.listdir(snap_dir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(snap_dir, fn)) as f:
+                s = _normalize_snap(json.load(f))
+            last = s["manifests"][-1] if s["manifests"] else None
+            out.append({
+                "version": s["version"],
+                "watermark": s["watermark"],
+                "base_rows": s.get("base_rows"),
+                "pending_commits": len(s["deltas"]),
+                "committed_at": last["committed_at"] if last else None,
+                "job_id": last["job_id"] if last else None,
+                "batch_id": last["batch_id"] if last else None,
+            })
+        return out
+
+    def changes_between(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental change feed (Iceberg incremental-scan / CDC-out
+        analog): the RAW change rows (including tombstones, ``_deleted``
+        marking deletes) applied by commits with
+        ``from_version < snapshot_version <= to_version``, read straight
+        from those commits' delta files — downstream consumers tail the
+        lakehouse without replaying the source log.  Window of validity:
+        delta files persist until compaction supersedes them AND vacuum
+        reclaims them past the grace window; a closed window raises."""
+        if to_version is None:
+            to_version = self.version
+        rows = [
+            m
+            for m in self.manifests_df().collect()
+            if from_version < m["snapshot_version"] <= to_version
+            and m["delta_files"]
+        ]
+        files = [p for m in rows for p in m["delta_files"]]
+        missing = [p for p in files if not os.path.exists(os.path.join(self.path, p))]
+        if missing:
+            raise FileNotFoundError(
+                f"incremental window closed: {len(missing)} delta file(s) "
+                f"vacuumed (e.g. {missing[0]}); re-read from the source log"
+            )
+        return self._raw(self._abs(files))
 
     def refresh(self) -> "LakehouseTable":
         return LakehouseTable.load(self.spark, self.path)

@@ -126,3 +126,44 @@ def test_compaction_preserves_state_and_prunes_files(spark, tmp_path):
     removed = t.vacuum(grace_secs=0)
     assert removed > 0  # superseded delta files cleaned
     assert t.read(include_deleted=True).orderBy("doc_id").collect() == after
+
+
+def test_time_travel_history_and_changes(spark, tmp_path):
+    """Iceberg-parity metadata surface: VERSION AS OF reads, history(),
+    and the incremental change feed between snapshots (CDC-out)."""
+    path = str(tmp_path / "t")
+    t = LakehouseTable.create(spark, path, n_buckets=8, max_deltas=100)
+    t.merge(_updates(spark, 0, 499), "j", 0, 0, 499)
+    v1 = t.version
+    rows_v1 = t.read().count()
+    t.merge(_updates(spark, 500, 999), "j", 1, 500, 999)
+    t.merge(_updates(spark, 1000, 1499), "j", 2, 1000, 1499)
+    v3 = t.version
+
+    # time travel: the v1 handle still reads exactly the v1 state
+    old = LakehouseTable.load(spark, path, version=v1)
+    assert old.version == v1 and old.read().count() == rows_v1
+    assert LakehouseTable.load(spark, path).read().count() >= rows_v1
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError, match="snapshot v999"):
+        LakehouseTable.load(spark, path, version=999)
+
+    # history: one row per retained snapshot, versions ascending
+    h = t.history()
+    assert [r["version"] for r in h] == list(range(0, v3 + 1))
+    assert h[-1]["batch_id"] == 2
+
+    # incremental feed v1 -> v3 = exactly batches 1 and 2's raw rows
+    ch = t.changes_between(v1, v3)
+    m1 = t._find_manifest("j", 1)
+    m2 = t._find_manifest("j", 2)
+    assert ch.count() == m1["events_applied"] + m2["events_applied"]
+    seqs = ch.agg(F.min("_commit_seq"), F.max("_commit_seq")).collect()[0]
+    assert seqs[0] >= 500 and seqs[1] <= 1499
+    assert "_deleted" in ch.columns  # tombstones ride the feed
+
+    # window closes after compaction + zero-grace vacuum
+    t.compact()
+    t.vacuum(grace_secs=0)
+    with _pt.raises(FileNotFoundError, match="incremental window closed"):
+        t.changes_between(v1, v3).count()
