@@ -839,6 +839,33 @@ def q_docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_docs_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, Schleimer et al.
+    MOSS): hash every character 5-gram, take the min per sliding window
+    of 4 — content-defined fingerprints robust to local edits, the
+    near-dup primitive exact-hash fingerprints can't give.  Pure
+    Catalyst array expressions; DuckDB regenerates bit-identically."""
+    _views(spark, sf_dir, "documents")
+    h = _HASH60_SP.format(x="substr(text, i + 1, 5)")
+    return spark.sql(f"""
+        WITH g AS (
+          SELECT doc_id,
+                 transform(sequence(0, cast(length(text) - 5 AS int)),
+                           i -> {h} % 1000000) AS grams
+          FROM documents WHERE length(text) >= 8),
+        w AS (
+          SELECT doc_id,
+                 array_sort(array_distinct(
+                   transform(sequence(0, cast(size(grams) - 4 AS int)),
+                             j -> array_min(slice(grams, j + 1, 4))))) AS fps
+          FROM g)
+        SELECT doc_id,
+               cast(size(fps) AS bigint) AS n_fp,
+               array_join(cast(slice(fps, 1, 8) AS array<string>), ',') AS fp_head
+        FROM w
+    """)
+
+
 def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-text md5 + head-shingle md5."""
     _views(spark, sf_dir, "documents")
@@ -890,6 +917,7 @@ QUERIES = {
     "docs_quality_score": q_docs_quality_score,
     "docs_token_count": q_docs_token_count,
     "docs_fingerprint": q_docs_fingerprint,
+    "docs_winnow_fingerprint": q_docs_winnow_fingerprint,
 }
 
 
@@ -1391,6 +1419,24 @@ SELECT doc_id,
        cast(len(regexp_extract_all(text, '[a-z0-9]+')) AS bigint) AS n_re,
        cast(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS bigint) AS n_alnum
 FROM documents
+"""
+
+_ORACLES["docs_winnow_fingerprint"] = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(length(text) - 4),
+                        i -> {_dk_hash60("substr(text, i + 1, 5)")} % 1000000) AS grams
+  FROM documents WHERE length(text) >= 8),
+w AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(len(grams) - 3),
+                          j -> list_min(grams[j + 1:j + 4])))) AS fps
+  FROM g)
+SELECT doc_id,
+       cast(len(fps) AS bigint) AS n_fp,
+       array_to_string(list_transform(fps[1:8], x -> cast(x AS varchar)), ',') AS fp_head
+FROM w
 """
 
 _ORACLES["docs_fingerprint"] = """
