@@ -127,6 +127,8 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--format", default="parquet",
                     choices=["parquet", "csv", "json"])
     ex.add_argument("--partitions", type=int, default=None)
+    ex.add_argument("--at-version", type=int, default=None,
+                    help="export a retained older snapshot (time travel)")
     ex.add_argument("--master", default=None)
 
     cn = sub.add_parser("conn", help="list named connections from a config "
@@ -329,7 +331,7 @@ def main(argv: list[str] | None = None) -> int:
         from dlt_spark.destinations import export_table
         from dlt_spark.lakehouse import LakehouseTable
 
-        t = LakehouseTable.load(spark, args.table)
+        t = LakehouseTable.load(spark, args.table, version=args.at_version)
         n = export_table(t, args.out, fmt=args.format,
                          partitions=args.partitions)
         print(json.dumps({"exported_rows": n, "format": args.format,
