@@ -50,6 +50,8 @@ def main() -> int:
     write_change_log(events, log_path, part_width=max(args.events_per_epoch, 50_000))
 
     lat = []
+    snap_sizes = []  # per-epoch latest-snapshot size (flatness evidence)
+    snap_dir = os.path.join(tbl_path, "_snapshots")
     for e in range(args.epochs):
         lo = e * args.events_per_epoch
         hi = lo + args.events_per_epoch - 1
@@ -60,6 +62,8 @@ def main() -> int:
             log_part_width=max(args.events_per_epoch, 50_000),
         )
         lat.append(time.monotonic() - t0)
+        latest = sorted(os.listdir(snap_dir))[-1]
+        snap_sizes.append(os.path.getsize(os.path.join(snap_dir, latest)))
 
     t = LakehouseTable.load(spark, tbl_path)
     snap_path = os.path.join(
@@ -82,6 +86,18 @@ def main() -> int:
         "max_sec": round(max(lat), 3),
         "median_by_fifth": [round(statistics.median(f), 3) for f in fifths if f],
         "snapshot_kb": round(snap_kb, 1),
+        # VERDICT r2 #1 evidence: snapshot stays O(n_buckets + tail)
+        # while live base/L1 data files keep growing — the file LISTS
+        # live in per-bucket sidecars, only touched buckets rewrite
+        "snapshot_kb_by_fifth": [
+            round(s / 1024, 1)
+            for s in snap_sizes[len(snap_sizes) // 5 - 1 :: len(snap_sizes) // 5]
+        ],
+        "live_data_files": len(t._live_files()),
+        "filelist_sidecars": len(
+            set((t._snap.get("buckets_ref") or {}).values())
+            | set((t._snap.get("l1_ref") or {}).values())
+        ),
         "manifest_tail_rows": len(t._snap["manifests"]),
         "manifest_spill_files": len(t._snap.get("manifest_spill", [])),
         "applied_ranges": sum(len(r) for r in t._snap["applied"].values()),

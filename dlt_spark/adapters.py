@@ -96,6 +96,17 @@ class ExplodedAdapter:
 
     name = "exploded"
 
+    # Child rows bucket by their PARENT id (child keys are
+    # "<parent>/<kind>/<idx>"), so whole documents co-locate and the
+    # cascade-delete candidate lookup below bucket-prunes by the batch's
+    # parent set instead of scanning the table (VERDICT r2 #3).
+    bucket_expr = "substring_index(doc_id, '/', 1)"
+
+    # Above this many distinct delete-parents in one batch, skip the
+    # driver-side residue computation and read the whole table (a bulk
+    # delete of >64k parents touches most buckets anyway).
+    MAX_PRUNED_PARENTS = 65_536
+
     def __init__(self, cascade_deletes: bool = False):
         self.cascade_deletes = cascade_deletes
 
@@ -150,17 +161,22 @@ class ExplodedAdapter:
         dedup when ``cascade_deletes``): for each parent-delete event,
         emit one tombstone per candidate child key at the delete's seq.
 
-        Candidates = the parent's live children in the TABLE (reads only
-        the parents' buckets? no — child keys hash independently, so
-        this is a broadcast-semi filter on parent_doc_id over the table
-        read; deletes per batch are few, the broadcast is tiny) plus
+        Candidates = the parent's live children in the TABLE plus
         children produced EARLIER IN THIS BATCH (visible only here).
+        The table lookup is BUCKET-PRUNED (VERDICT r2 #3): the table
+        buckets child rows by parent (``bucket_expr``), so the batch's
+        distinct delete-parents — collected driver-side, they are few —
+        map to a residue set and ``table.read(buckets=...)`` scans only
+        those buckets' files, O(parents-in-batch) buckets instead of the
+        full table.  A batch with NO deletes returns immediately with
+        zero table I/O (the runner pipelines such batches freely).
         Duplicate tombstones for a key collapse in the downstream LWW
         dedup; a child re-inserted at seq > delete_seq wins the resolve.
         """
         if not self.cascade_deletes:
             return normalized
-        dels = (
+        spark = normalized.sparkSession
+        del_rows = (
             normalized.where(F.col("op") == "D")
             .select(
                 F.col("parent_doc_id").alias("p"),
@@ -168,12 +184,37 @@ class ExplodedAdapter:
                 F.col("source").alias("del_source"),
             )
             .distinct()
+            .collect()
+        )
+        if not del_rows:
+            return normalized  # delete-free batch: no lookup at all
+        dels = F.broadcast(
+            spark.createDataFrame(del_rows, "p string, del_seq long, del_source string")
         )
         in_batch = normalized.where(F.col("op") != "D").select(
             "doc_id", "kind", "array_index", "parent_doc_id",
             F.col("commit_seq").alias("child_seq"),
         )
-        tdf = table.read()
+        parents = sorted({r["p"] for r in del_rows})
+        buckets = None
+        if (
+            len(parents) <= self.MAX_PRUNED_PARENTS
+            and table.bucket_expr == self.bucket_expr
+        ):
+            # residues of the parents under the table's parent-keyed
+            # bucket layout: one tiny local job over |parents| rows
+            buckets = [
+                r["b"]
+                for r in spark.createDataFrame([(p,) for p in parents], "p string")
+                .select(
+                    F.pmod(F.xxhash64("p"), F.lit(table.n_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+        tdf = table.read(buckets=buckets)
         if "kind" in tdf.columns:  # empty fresh table has no extras yet
             in_table = tdf.select(
                 "doc_id", "kind", "array_index", "parent_doc_id"
@@ -182,7 +223,7 @@ class ExplodedAdapter:
         else:
             cand = in_batch
         tombs = (
-            cand.join(F.broadcast(dels), cand["parent_doc_id"] == dels["p"])
+            cand.join(dels, cand["parent_doc_id"] == dels["p"])
             .where(F.col("child_seq") < F.col("del_seq"))
             .select(
                 "doc_id",

@@ -9,7 +9,10 @@ Subcommands mirror the reference's entry points (SURVEY §3):
   sync   — supervised incremental loop
            (cmd/dlt/commands/sync.go:33-174; interval polling)
   status — table + manifest inspection (watermark, lineage, metrics)
-  vacuum — drop data files unreferenced by the latest snapshot
+  expire — expire old snapshots + files only they reference
+           (metadata diff; never lists the data directory)
+  vacuum — remove orphan files no retained snapshot references
+           (the one op that lists the store; run rarely)
 
 Run via spark-submit for cluster use:
   spark-submit --py-files dlt_spark.zip -m ... (or set PYSPARK_PYTHON)
@@ -98,13 +101,23 @@ def main(argv: list[str] | None = None) -> int:
                          "(default: print the count)")
     ch.add_argument("--master", default=None)
 
-    v = sub.add_parser("vacuum", help="remove unreferenced data files")
+    v = sub.add_parser("vacuum", help="remove orphan files (lists the store)")
     v.add_argument("--table", required=True)
     v.add_argument("--grace-secs", type=float, default=3600.0,
                    help="keep unreferenced files younger than this "
                         "(in-flight deltas of a live writer); 0 only "
                         "when no writer can be active")
     v.add_argument("--master", default=None)
+
+    ex = sub.add_parser(
+        "expire", help="expire old snapshots + their superseded files "
+                       "(metadata-only; object-store safe)"
+    )
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--retain-last", type=int, default=2,
+                    help="number of newest snapshots to keep readable "
+                         "(time travel / changes_between window)")
+    ex.add_argument("--master", default=None)
 
     c = sub.add_parser("compact", help="fold L0+L1 into bucket-pure bases")
     c.add_argument("--table", required=True)
@@ -308,6 +321,13 @@ def main(argv: list[str] | None = None) -> int:
 
         t = LakehouseTable.load(spark, args.table)
         print(json.dumps({"removed_files": t.vacuum(grace_secs=args.grace_secs)}))
+        return 0
+
+    if args.cmd == "expire":
+        from dlt_spark.lakehouse import LakehouseTable
+
+        t = LakehouseTable.load(spark, args.table)
+        print(json.dumps(t.expire_snapshots(retain_last=args.retain_last)))
         return 0
 
     if args.cmd == "compact":

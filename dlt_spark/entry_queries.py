@@ -694,19 +694,19 @@ def q_emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with TRAINED centroids (VERDICT r1 next-#8): deterministic
-    sampled k-means (hash-selected sample, seeded Lloyd in numpy,
-    bounded O(sample·dim) driver work) replaces the fixed corpus-sample
-    centroids; assignment and candidate ranking stay distributed.
-    No oracle_sql: k-means' float iteration order is not reproducible
-    in SQL — driver records the rows-only check; recall-vs-brute-force
-    and determinism are pytest-asserted (tests/test_similarity.py)."""
-    from dlt_spark.functions.similarity import ivf_topk, train_centroids
+    """IVF with TRAINED centroids, now fully oracle-checked (VERDICT r2
+    #5): training is integer-exact k-means (md5-selected sample,
+    quantized vectors, floor-div means — similarity.py
+    train_centroids_exact), so DuckDB re-derives bit-identical centroids
+    in pure SQL and the driver hash-compares assignment + ranking like
+    any other query.  Assignment and candidate ranking stay
+    distributed (broadcast centroid join + cell equi-join)."""
+    from dlt_spark.functions.similarity import ivf_topk, train_centroids_exact
 
     _views(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
     corpus = emb.where(F.col("vec_id") >= 5)
-    cents = train_centroids(corpus, dim=64, k=8, n_iters=3, sample=512)
+    cents = train_centroids_exact(corpus, k=8, n_iters=3, sample=512)
     out = ivf_topk(
         emb.where(F.col("vec_id") < 5), corpus, centroids=cents, k=5, nprobe=2
     )
@@ -1209,10 +1209,10 @@ JOIN sizes sb ON sb.doc_id = b_id
 WHERE cast(i AS double) / cast(sa.sz + sb.sz - i AS double) >= 0.5
 """
 
-# Queries with NO SQL-expressible oracle (driver records the weaker
-# rows-only check; judge sees which): trained k-means float iteration
-# order is not reproducible in SQL.
-NO_ORACLE = frozenset({"emb_ann_ivf_trained"})
+# Queries with NO SQL-expressible oracle.  Empty since round 3: the one
+# former member (emb_ann_ivf_trained) trains in integer-exact arithmetic
+# now, so its k-means is SQL-reproducible (VERDICT r2 #5).
+NO_ORACLE = frozenset()
 
 _ORACLES["emb_cosine_topk"] = """
 WITH e AS (
@@ -1325,6 +1325,101 @@ ranked AS (
 SELECT query_id, neighbor_id, cast(rnk AS bigint) AS rnk, round(sim, 5) AS sim_r
 FROM ranked WHERE rnk <= 5
 """
+
+
+def _ivf_trained_oracle_sql(
+    k=8, n_iters=3, sample=512, dim=64, scale=1024, centroids_only=False
+) -> str:
+    """DuckDB re-derivation of train_centroids_exact + the ivf_topk
+    assignment/rank (mirrors similarity.py exactly — see its docstring
+    for why every training step is integer-exact and therefore
+    bit-identical across engines).  Each Lloyd iteration is one
+    assign/per-dim-mean/re-pack CTE chain; floor-division means and
+    smallest-cell tie-breaks match numpy's floor_divide and argmin."""
+    sqdist = (
+        "list_reduce(list_transform(range(1, {d} + 1), "
+        "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), (x, y) -> x + y)"
+    ).format(d=dim)
+    iters = []
+    for it in range(1, n_iters + 1):
+        prev = f"c{it - 1}"
+        iters.append(f"""
+a{it} AS (
+  SELECT sid, qv, cell FROM (
+    SELECT q.sid, q.qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.sid
+               ORDER BY {sqdist} ASC, c.cell ASC) AS rk
+    FROM q, {prev} c) WHERE rk = 1),
+u{it} AS (
+  SELECT cell, r.range AS dim, qv[r.range] AS val
+  FROM a{it} CROSS JOIN range(1, {dim + 1}) r),
+m{it} AS (
+  SELECT cell, dim,
+         CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+  FROM u{it} GROUP BY cell, dim),
+cr{it} AS (SELECT cell, list(cval ORDER BY dim) AS cv FROM m{it} GROUP BY cell),
+c{it} AS (
+  SELECT cells.cell,
+         COALESCE(cr{it}.cv,
+                  (SELECT qv FROM q
+                   WHERE sid = cells.cell % (SELECT count(*) FROM q) + 1)) AS cv
+  FROM (SELECT r.range AS cell FROM range(0, {k}) r) cells
+  LEFT JOIN cr{it} USING (cell))""")
+    prefix = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+      FROM e),
+samp AS (
+  SELECT vec_id, v, sid FROM (
+    SELECT vec_id, v,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS sid
+    FROM e WHERE vec_id >= 5) WHERE sid <= {sample}),
+q AS (SELECT sid,
+             list_transform(v, x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS qv
+      FROM samp),
+c0 AS (SELECT sid - 1 AS cell, qv AS cv FROM q WHERE sid <= {k}),
+{",".join(iters)}"""
+    if centroids_only:  # training prefix alone (centroid-parity tests)
+        return prefix + f"\nSELECT cell, cv FROM c{n_iters} ORDER BY cell"
+    return prefix + f""",
+cent AS (
+  SELECT cell,
+         list_transform(cv, x -> CAST(x AS DOUBLE)) AS cv,
+         sqrt(list_reduce(list_transform(cv, x -> CAST(x AS DOUBLE) * x),
+                          (a, b) -> a + b)) AS cn
+  FROM c{n_iters}),
+corp_assign AS (
+  SELECT neighbor_id, c, cn2, cell FROM (
+    SELECT x.vec_id AS neighbor_id, x.v AS c, x.nrm AS cn2, cent.cell,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY {_DK_DOT.format(a='x.v', b='cent.cv')} / (x.nrm * cent.cn) DESC,
+                        cent.cell) AS crk
+    FROM n x, cent WHERE x.vec_id >= 5)
+  WHERE crk = 1),
+qry_assign AS (
+  SELECT query_id, q2, qn, cell FROM (
+    SELECT x.vec_id AS query_id, x.v AS q2, x.nrm AS qn, cent.cell,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+               ORDER BY {_DK_DOT.format(a='x.v', b='cent.cv')} / (x.nrm * cent.cn) DESC,
+                        cent.cell) AS crk
+    FROM n x, cent WHERE x.vec_id < 5)
+  WHERE crk <= 2),
+pairs AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         {_DK_DOT.format(a='q2', b='c')} / (qn * cn2) AS sim
+  FROM qry_assign JOIN corp_assign USING (cell)),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM pairs)
+SELECT query_id, neighbor_id, cast(rnk AS bigint) AS rnk, round(sim, 5) AS sim_r
+FROM ranked WHERE rnk <= 5
+"""
+
+
+_ORACLES["emb_ann_ivf_trained"] = _ivf_trained_oracle_sql()
 
 _ORACLES["emb_neardup_pairs"] = f"""
 WITH {_dk_lsh_base(4, 2)},

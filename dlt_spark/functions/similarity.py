@@ -299,6 +299,72 @@ def near_dup_pairs_cosine(
     )
 
 
+def train_centroids_exact(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    sample: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """Deterministic k-means whose trained centroids are EXACTLY
+    reproducible in ANSI SQL (VERDICT r2 #5 — this is what lets the
+    trained-IVF entry query carry a full DuckDB oracle instead of a
+    rows-only check):
+
+    - sample = the ``sample`` rows with the smallest md5(id) — a
+      distributed TakeOrdered (map-side heaps, no full shuffle) on a
+      hash both engines compute identically;
+    - vectors quantize to integers: floor(x·scale + 0.5) (exact on
+      IEEE doubles for |x·scale| ≪ 2^52 — embeddings are unit-ish);
+    - Lloyd runs in INTEGER arithmetic: assignment by squared-Euclidean
+      distance (int64-exact, ties → smallest cell), update by
+      element-wise FLOOR-division mean (exact), empty cells re-seed from
+      sample[j % n].  No float enters training, so Spark/numpy and any
+      SQL engine produce bit-identical centroids.
+
+    Driver-side Lloyd over the O(sample·dim) matrix, same bounded shape
+    as ``train_centroids``; downstream assignment stays distributed in
+    ``ivf_topk``.  Returns (cell, embedding:array<double>) — the integer
+    centroids as exact doubles."""
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .orderBy("_h")
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus")
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    q = np.floor(x * scale + 0.5).astype(np.int64)
+    k = min(k, len(q))
+    cent = q[:k].copy()  # init: k smallest-md5 sample rows, quantized
+    for _ in range(n_iters):
+        # int64-exact pairwise squared distances; argmin breaks ties at
+        # the first (smallest) cell — mirrored by ORDER BY d, cell in SQL
+        d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        nxt = np.empty_like(cent)
+        for j in range(k):
+            members = q[a == j]
+            if len(members):
+                nxt[j] = np.floor_divide(members.sum(axis=0), len(members))
+            else:
+                nxt[j] = q[j % len(q)]
+        cent = nxt
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(int(j), [float(v) for v in cent[j]]) for j in range(k)],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     dim: int,

@@ -88,6 +88,19 @@ from dlt_spark.schemas import MANIFEST_SCHEMA, TARGET_SCHEMA
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
 _MANIFEST_DIR = "_manifests"
+# Per-bucket file-list sidecars (Iceberg manifest-list → manifest
+# indirection analog): the snapshot JSON stores only {bucket: sidecar
+# ref}; the sidecar holds the actual data-file paths for the buckets a
+# commit touched.  A plain ingest commit touches NO buckets, so its
+# snapshot rewrite is O(n_buckets refs + manifest tail) — never O(live
+# data files).  At the 10^10-event design point (~800k base files) the
+# previous inline layout serialized tens of MB of JSON per commit; now
+# a commit writes one sidecar of O(changed buckets) and the snapshot
+# stays O(n_buckets).  Inline-retained lists and why they're bounded:
+# L0 "deltas" ≤ max_deltas commits × ~10²-file lists (a batch's delta is
+# AQE-coalesced to target file sizes — ~80 files for a 10 GB batch) and
+# the manifest tail ≤ MANIFEST_TAIL rows of the same shape.
+_FILELIST_DIR = "_filelists"
 
 # Manifest rows retained inline in the snapshot; beyond 2× the tail the
 # oldest spill to a Parquet sidecar (read back via manifests_df).
@@ -121,8 +134,69 @@ _WIDEN_OK = {
 }
 
 
-def _bucket_col(key_col: str, n_buckets: int):
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+def _bucket_col(key_expr: str, n_buckets: int):
+    """Bucket id of a row: hash of the bucket-key EXPRESSION (usually
+    the key column; tables may declare a transform — e.g. the exploded
+    schema buckets child rows by their PARENT id so whole documents
+    co-locate and parent-keyed lookups bucket-prune, the Iceberg
+    partition-transform analog)."""
+    return F.pmod(F.xxhash64(F.expr(key_expr)), F.lit(n_buckets)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# bucket keys are MODULUS-QUALIFIED: "m:r" = hash residue r under modulus
+# m.  n_buckets is the CURRENT write modulus; split_buckets() raises it
+# (Iceberg partition-spec-evolution analog), and because every historical
+# modulus divides the current one, an old entry (m, r) is exactly the
+# union of current residues {r, r+m, r+2m, …} — old files stay readable
+# and prunable without any rewrite; compaction rewrites them at the
+# current modulus as it touches them.
+# ---------------------------------------------------------------------------
+def _bkey(m: int, r: int) -> str:
+    return f"{m}:{r}"
+
+
+def _bkey_parse(key: str) -> tuple[int, int]:
+    m, _, r = key.partition(":")
+    return int(m), int(r)
+
+
+def _key_matches_residues(key: str, residues: set[int]) -> bool:
+    """Does entry (m, r) contain any of the given residues under the
+    CURRENT modulus?  (m divides the current modulus by construction.)"""
+    m, r = _bkey_parse(key)
+    return any(b % m == r for b in residues)
+
+
+def _keys_overlap(k1: str, k2: str) -> bool:
+    """Do two modulus-qualified residue classes intersect?  With all
+    moduli dividing the current one, classes are hierarchical: they
+    intersect iff the finer is congruent to the coarser."""
+    m1, r1 = _bkey_parse(k1)
+    m2, r2 = _bkey_parse(k2)
+    if m1 <= m2:
+        return m2 % m1 == 0 and r2 % m1 == r1
+    return m1 % m2 == 0 and r1 % m2 == r2
+
+
+def suggest_n_buckets(
+    expected_rows: int,
+    bytes_per_row: int = 300,
+    target_bucket_bytes: int = 2 << 30,
+) -> int:
+    """Creation-time sizing rule (VERDICT r2 #2): pick the bucket count
+    so a fully-compacted bucket lands near ``target_bucket_bytes`` (2 GB
+    default — large enough that bucket-local compaction amortizes, small
+    enough that a major rewrite or a touched-bucket resolve is never a
+    multi-TB spike).  Rounded up to a power of two so later
+    ``split_buckets`` doublings keep every historical modulus dividing
+    the current one.  At the 10^10-event design point (~300 B/row → 3 TB
+    live) this gives 2048 buckets; a 100 TB table gets 65536."""
+    want = max(1, (expected_rows * bytes_per_row) // target_bucket_bytes)
+    n = 8
+    while n < want and n < (1 << 20):
+        n <<= 1
+    return n
 
 
 def _read_schema(
@@ -192,11 +266,29 @@ def _normalize_snap(snap: dict) -> dict:
     - deltas: [[paths]] → [{"files": [...], "rows": None}]
     - l1:     {b: [paths]} → {b: {"files": [...], "rows": None}}
     - applied: ["job::batch"] → {job: [[lo, hi], ...]}
+    - bucket keys "r" → modulus-qualified "m:r" (m = snapshot n_buckets)
     Unknown row counts push reads to the conservative full-resolve tier.
     """
+    m = snap.get("n_buckets", 64)
+    for field_name in ("buckets", "l1"):
+        mp = snap.get(field_name)
+        if mp and any(":" not in k for k in mp):
+            snap[field_name] = {
+                (k if ":" in k else _bkey(m, int(k))): v for k, v in mp.items()
+            }
+    for field_name in ("buckets_ref", "l1_ref"):
+        mp = snap.get(field_name)
+        if mp and any(":" not in k for k in mp):
+            snap[field_name] = {
+                (k if ":" in k else _bkey(m, int(k))): v for k, v in mp.items()
+            }
     snap.setdefault("manifest_spill", [])
+    snap.setdefault("superseded", {})
     snap.setdefault("renames", {})
     snap.setdefault("base_rows", None)  # legacy: unknown → no cost model
+    # pre-round-3 snapshots carry buckets/l1 lists inline (no refs)
+    snap.setdefault("buckets_ref", None)
+    snap.setdefault("l1_ref", None)
     deltas = snap.get("deltas", [])
     if deltas and isinstance(deltas[0], list):
         snap["deltas"] = [{"files": ps, "rows": None} for ps in deltas]
@@ -214,13 +306,39 @@ def _normalize_snap(snap: dict) -> dict:
     return snap
 
 
+def _resolve_filelists(path: str, snap: dict) -> dict:
+    """Inflate the in-memory ``buckets``/``l1`` maps from their sidecar
+    refs (the on-disk snapshot stores only refs).  Pre-round-3 snapshots
+    carry the lists inline and pass through unchanged.  Cost: one small
+    JSON read per DISTINCT sidecar referenced — bounded by the number of
+    compactions whose output is still partially live (typically a
+    handful; worst case one per bucket), the same two-level open cost as
+    Iceberg's manifest list."""
+    brefs, lrefs = snap.get("buckets_ref"), snap.get("l1_ref")
+    if brefs is None and lrefs is None:
+        return snap
+    cache: dict[str, dict] = {}
+
+    def side(rel: str) -> dict:
+        if rel not in cache:
+            with open(os.path.join(path, rel)) as f:
+                cache[rel] = json.load(f)
+        return cache[rel]
+
+    snap["buckets"] = {
+        b: side(rel)["buckets"][b] for b, rel in (brefs or {}).items()
+    }
+    snap["l1"] = {b: side(rel)["l1"][b] for b, rel in (lrefs or {}).items()}
+    return snap
+
+
 class LakehouseTable:
     """Handle to one merge-on-read table rooted at ``path``."""
 
     def __init__(self, spark: SparkSession, path: str, snap: dict):
         self.spark = spark
         self.path = path
-        self._snap = _normalize_snap(snap)
+        self._snap = _resolve_filelists(path, _normalize_snap(snap))
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -230,10 +348,20 @@ class LakehouseTable:
         cls,
         spark: SparkSession,
         path: str,
-        n_buckets: int = 64,
+        n_buckets: int | None = 64,
         max_deltas: int = 8,
+        expected_rows: int | None = None,
+        bucket_expr: str = "doc_id",
     ) -> "LakehouseTable":
-        """CREATE TABLE IF NOT EXISTS (SURVEY §2.1 S6)."""
+        """CREATE TABLE IF NOT EXISTS (SURVEY §2.1 S6).  Pass
+        ``expected_rows`` (with ``n_buckets=None``) to size the bucket
+        count from expected volume via ``suggest_n_buckets`` — under-
+        sized tables can later be re-granulated with ``split_buckets``
+        without rewriting data."""
+        if n_buckets is None:
+            n_buckets = (
+                suggest_n_buckets(expected_rows) if expected_rows else 64
+            )
         snap_dir = os.path.join(path, _SNAP_DIR)
         if os.path.isdir(snap_dir) and _latest_version(snap_dir) is not None:
             return cls.load(spark, path)
@@ -242,6 +370,7 @@ class LakehouseTable:
         snap = {
             "version": 0,
             "n_buckets": n_buckets,
+            "bucket_expr": bucket_expr,
             "max_deltas": max_deltas,  # L0 commit cap (and L1 per-bucket cap)
             # Leveled layout (LSM-style; Iceberg analog: data files +
             # positional deltas + rewrite_data_files):
@@ -270,6 +399,10 @@ class LakehouseTable:
             "manifests": [],  # retained tail, rows per MANIFEST_SCHEMA
             "manifest_spill": [],  # parquet sidecar rel paths (older rows)
             "watermark": -1,  # highest seq_to applied
+            # per-bucket file-list sidecar refs ({} = ref-based layout;
+            # the on-disk snapshot never inlines buckets/l1 lists)
+            "buckets_ref": {},
+            "l1_ref": {},
         }
         _commit_snapshot(snap_dir, snap)
         return cls(spark, path, snap)
@@ -355,6 +488,10 @@ class LakehouseTable:
         return self._snap["n_buckets"]
 
     @property
+    def bucket_expr(self) -> str:
+        return self._snap.get("bucket_expr", "doc_id")
+
+    @property
     def max_deltas(self) -> int:
         return self._snap.get("max_deltas", 8)
 
@@ -420,7 +557,7 @@ class LakehouseTable:
             )
             .parquet(*files)
             .select(*cols)
-            .withColumn("_bucket", _bucket_col("doc_id", self.n_buckets))
+            .withColumn("_bucket", _bucket_col(self.bucket_expr, self.n_buckets))
         )
 
     @staticmethod
@@ -448,7 +585,13 @@ class LakehouseTable:
         when any entry predates row tracking (→ conservative tier 3)."""
         files: list[str] = []
         rows: int | None = 0
-        l1_keys = self._l1.keys() if buckets is None else [str(b) for b in buckets]
+        if buckets is None:
+            l1_keys = list(self._l1)
+        else:
+            residues = {int(b) for b in buckets}
+            l1_keys = [
+                k for k in self._l1 if _key_matches_residues(k, residues)
+            ]
         for k in l1_keys:
             e = self._l1.get(k)
             if not e:
@@ -476,7 +619,11 @@ class LakehouseTable:
         overrides the choice (diagnostics/tests).  Tombstones filtered
         unless ``include_deleted``."""
         bm = self._snap["buckets"]
-        keys = bm.keys() if buckets is None else [str(b) for b in buckets]
+        if buckets is None:
+            keys = list(bm)
+        else:
+            residues = {int(b) for b in buckets}
+            keys = [k for k in bm if _key_matches_residues(k, residues)]
         base_files = [p for k in keys for p in bm.get(k, [])]
         pend_files, pend_rows = self._pending(buckets)
         base_rows = self._snap.get("base_rows")
@@ -488,15 +635,24 @@ class LakehouseTable:
                 )
             return df
 
+        # base entries written under an older (coarser) modulus contain
+        # sibling residues too — filter them out; entries at the current
+        # modulus are bucket-pure and skip the predicate entirely
+        mixed = any(_bkey_parse(k)[0] != self.n_buckets for k in keys)
+
+        def _base_filter(df: DataFrame) -> DataFrame:
+            return _bucket_filter(df) if mixed else df
+
         if not pend_files:
-            out = self._raw(self._abs(base_files))  # already one-row-per-key
+            # base is one-row-per-key on disk already
+            out = _base_filter(self._raw(self._abs(base_files)))
         elif not base_files:
             out = self._resolve(_bucket_filter(self._raw(self._abs(pend_files))))
         else:
             if tier is None:
-                if pend_rows is None:
-                    tier = 3  # legacy metadata: conservative
-                elif base_rows is not None and (
+                if pend_rows is None or base_rows is None:
+                    tier = 3  # legacy/unknown metadata: conservative
+                elif (
                     base_rows < BASE_OVER_PENDING_MIN * pend_rows
                     or base_rows < BASE_ROWS_MIN_MERGE
                 ):
@@ -505,14 +661,23 @@ class LakehouseTable:
                     tier = 2  # default merge path (measured fastest)
                 else:
                     tier = 3  # writer outran compaction by >20M keys
+            if tier == 1 and (
+                pend_rows is None or pend_rows > BROADCAST_ROWS_T1
+            ):
+                # tier 1 broadcasts FULL resolved rows; above the cap (or
+                # with unknown counts) that can OOM the driver/executors —
+                # enforce the documented bound by degrading to the
+                # key-broadcast tier (or the full resolve when even the
+                # key count is unknown).  (ADVICE.md)
+                tier = 2 if pend_rows is not None else 3
             if tier == 1:
                 out = self._read_merge_t1(
-                    self._raw(self._abs(base_files)),
+                    _base_filter(self._raw(self._abs(base_files))),
                     _bucket_filter(self._raw(self._abs(pend_files))),
                 )
             elif tier == 2:
                 out = self._read_merge_t2(
-                    self._raw(self._abs(base_files)),
+                    _base_filter(self._raw(self._abs(base_files))),
                     _bucket_filter(self._raw(self._abs(pend_files))),
                 )
             else:
@@ -581,7 +746,12 @@ class LakehouseTable:
 
     def manifests_df(self) -> DataFrame:
         """All manifest rows: the retained in-snapshot tail plus any
-        spilled Parquet sidecars (lineage survives the spill)."""
+        spilled Parquet sidecars (lineage survives the spill).  Spilled
+        rows superseded by a forced re-apply (the replacement landed in
+        a later snapshot; sidecars are immutable) are filtered out here
+        so (job_id, batch_id) stays unique across the union (ADVICE.md:
+        a duplicate row fed stale delta files to changes_between and
+        double-counted lineage)."""
         tail = self.spark.createDataFrame(self._snap["manifests"], MANIFEST_SCHEMA)
         spill = self._snap.get("manifest_spill", [])
         if not spill:
@@ -589,6 +759,18 @@ class LakehouseTable:
         spilled = self.spark.read.schema(MANIFEST_SCHEMA).parquet(
             *self._abs(spill)
         )
+        superseded = self._snap.get("superseded", {})
+        if superseded:
+            cond = None
+            for key, version in superseded.items():
+                job, _, bid = key.rpartition("::")
+                stale = (
+                    (F.col("job_id") == job)
+                    & (F.col("batch_id") == int(bid))
+                    & (F.col("snapshot_version") < int(version))
+                )
+                cond = stale if cond is None else (cond | stale)
+            spilled = spilled.where(~cond)
         return spilled.unionByName(tail)
 
     def _find_manifest(self, job_id: str, batch_id: int) -> dict | None:
@@ -844,21 +1026,45 @@ class LakehouseTable:
             # global O(table) spike).  Cost O(selected buckets).
             over = [
                 b for b, e in l1_map.items()
-                if len(e["files"]) >= self.max_deltas + (int(b) % 4)
+                if len(e["files"]) >= self.max_deltas + (_bkey_parse(b)[1] % 4)
             ]
             if over:
+                # After a split_buckets() the maps hold entries at mixed
+                # moduli; a rewrite of residue class X must include every
+                # entry whose class INTERSECTS X (classes are
+                # hierarchical, so this is the connected component).
+                # Pulling in a coarser pre-split base entry rewrites it
+                # at the current modulus as a side effect — splits are
+                # realized lazily, one touched component at a time.
+                comp = set(over)
+                pool = set(buckets_map) | {
+                    k for k, e in l1_map.items() if e["files"]
+                }
+                grew = True
+                while grew:
+                    grew = False
+                    for k in pool - comp:
+                        if any(_keys_overlap(k, c) for c in comp):
+                            comp.add(k)
+                            grew = True
+                old_base = [k for k in comp if k in buckets_map]
                 old_rows = _parquet_rows(
-                    self._abs([p for b in over for p in buckets_map.get(b, [])])
+                    self._abs([p for b in old_base for p in buckets_map[b]])
                 )
                 compacted = self._major_compact(
-                    buckets_map, l1_map, over, extras=new_extras
+                    buckets_map, l1_map, sorted(comp), extras=new_extras
                 )
-                for b, ps in compacted.items():
-                    buckets_map[b] = ps
-                for b in over:
-                    l1_map[b] = {"files": [], "rows": 0}
+                for b in old_base:
+                    del buckets_map[b]
+                buckets_map.update(compacted)
+                for b in comp:
+                    if b in l1_map:
+                        if _bkey_parse(b)[0] == self.n_buckets:
+                            l1_map[b] = {"files": [], "rows": 0}
+                        else:
+                            del l1_map[b]  # stale-modulus key retired
                 new_rows = _parquet_rows(
-                    self._abs([p for b in over for p in buckets_map.get(b, [])])
+                    self._abs([p for ps in compacted.values() for p in ps])
                 )
                 prev = self._snap.get("base_rows")
                 base_rows = (
@@ -938,7 +1144,10 @@ class LakehouseTable:
             .partitionBy("_bucket")
             .parquet(commit_abs)
         )
-        return _list_bucket_files(commit_abs, self.path)
+        return {
+            _bkey(self.n_buckets, int(b)): ps
+            for b, ps in _list_bucket_files(commit_abs, self.path).items()
+        }
 
     def _fold_l0(self, deltas: list, extras: list | None = None) -> dict[str, dict]:
         """L0 → L1: resolve the pending unbucketed commits among
@@ -958,16 +1167,15 @@ class LakehouseTable:
         extras: list | None = None,
     ) -> dict[str, list[str]]:
         """Bucket-local major compaction: fold base+L1 of ONLY the given
-        buckets into fresh bases.  O(selected buckets), never O(table).
-        Caller must have folded L0 first (L0 rows are unbucketed and
+        bucket entries into fresh bases at the CURRENT modulus.
+        O(selected component), never O(table).  Caller passes a closed
+        set (every entry whose residue class intersects the set is in
+        it) and must have folded L0 first (L0 rows are unbucketed and
         could otherwise supersede rows of these buckets)."""
         paths = [p for b in buckets for p in buckets_map.get(b, [])]
         paths += [p for b in buckets for p in l1_map.get(b, {}).get("files", [])]
         resolved = self._resolve(self._raw(self._abs(paths), extras=extras))
-        out = self._write_bucketed(resolved, "base")
-        for b in buckets:  # a bucket may resolve to nothing (post-purge)
-            out.setdefault(b, [])
-        return out
+        return self._write_bucketed(resolved, "base")
 
     def _commit_noop(self, job_id, batch_id, seq_from, seq_to, events_read) -> dict:
         manifest = {
@@ -1032,6 +1240,52 @@ class LakehouseTable:
         )
         return tail, spill + [rel]
 
+    def _write_filelist_refs(self, new_snap: dict) -> None:
+        """Point each bucket's file-list at a sidecar: unchanged buckets
+        keep their existing ref; buckets this commit touched go into ONE
+        new sidecar JSON.  The commit's driver-side metadata cost is
+        therefore O(changed buckets), not O(live files) (VERDICT r2 #1).
+        Sidecars are immutable; a crash between sidecar write and
+        snapshot link leaves an orphan reclaimed by remove_orphans()."""
+        old = self._snap
+        old_b, old_l1 = old.get("buckets", {}), old.get("l1", {})
+        old_brefs = old.get("buckets_ref") or {}
+        old_lrefs = old.get("l1_ref") or {}
+        nb, nl = new_snap["buckets"], new_snap["l1"]
+        changed_b = {
+            b: fs
+            for b, fs in nb.items()
+            if b not in old_brefs or old_b.get(b) != fs
+        }
+        changed_l = {
+            b: e
+            for b, e in nl.items()
+            if b not in old_lrefs or old_l1.get(b) != e
+        }
+        brefs = {
+            b: old_brefs[b] for b in nb if b in old_brefs and b not in changed_b
+        }
+        lrefs = {
+            b: old_lrefs[b] for b in nl if b in old_lrefs and b not in changed_l
+        }
+        if changed_b or changed_l:
+            os.makedirs(os.path.join(self.path, _FILELIST_DIR), exist_ok=True)
+            rel = os.path.join(_FILELIST_DIR, f"f-{uuid.uuid4().hex}.json")
+            with open(os.path.join(self.path, rel), "w") as f:
+                json.dump({"buckets": changed_b, "l1": changed_l}, f)
+            for b in changed_b:
+                brefs[b] = rel
+            for b in changed_l:
+                lrefs[b] = rel
+        new_snap["buckets_ref"], new_snap["l1_ref"] = brefs, lrefs
+
+    def _publish(self, new_snap: dict) -> None:
+        """Write sidecar refs for changed buckets, then atomically commit
+        the snapshot (inline lists stay in memory only)."""
+        self._write_filelist_refs(new_snap)
+        _commit_snapshot(os.path.join(self.path, _SNAP_DIR), new_snap)
+        self._snap = new_snap
+
     def _commit(
         self,
         buckets_map: dict,
@@ -1044,6 +1298,7 @@ class LakehouseTable:
     ) -> None:
         job, bid = manifest["job_id"], manifest["batch_id"]
         applied = {k: list(v) for k, v in self._snap["applied"].items()}
+        was_applied = _ranges_contains(applied.get(job, []), int(bid))
         applied[job] = _ranges_add(applied.get(job, []), int(bid))
         # forced re-apply: REPLACE the stale manifest row for this
         # (job_id, batch_id) instead of appending a duplicate (ADVICE.md
@@ -1054,10 +1309,22 @@ class LakehouseTable:
             for m in self._snap["manifests"]
             if not (m["job_id"] == job and m["batch_id"] == bid)
         ] + [manifest]
+        superseded = dict(self._snap.get("superseded", {}))
+        if (
+            was_applied
+            and len(manifests) > len(self._snap["manifests"])
+            and self._snap.get("manifest_spill")
+        ):
+            # the stale row was NOT in the inline tail, so it sits in an
+            # immutable spill sidecar: record the supersession so
+            # manifests_df()/changes_between() drop it (ADVICE.md medium).
+            # Bounded: grows only on forced re-applies of spilled batches.
+            superseded[f"{job}::{bid}"] = manifest["snapshot_version"]
         manifests, spill = self._spill_manifests(manifests)
         new_snap = {
             "version": self.version + 1,
             "n_buckets": self.n_buckets,
+            "bucket_expr": self.bucket_expr,
             "max_deltas": self.max_deltas,
             "buckets": buckets_map,
             "base_rows": (
@@ -1077,10 +1344,10 @@ class LakehouseTable:
             "applied": applied,
             "manifests": manifests,
             "manifest_spill": spill,
+            "superseded": superseded,
             "watermark": max(self._snap["watermark"], manifest["seq_to"]),
         }
-        _commit_snapshot(os.path.join(self.path, _SNAP_DIR), new_snap)
-        self._snap = new_snap
+        self._publish(new_snap)
 
     # ------------------------------------------------------------------
     # schema evolution DDL (Iceberg ALTER TABLE analog)
@@ -1112,8 +1379,55 @@ class LakehouseTable:
             extra_columns=extras,
             renames=renames,
         )
-        _commit_snapshot(os.path.join(self.path, _SNAP_DIR), new_snap)
-        self._snap = new_snap
+        self._publish(new_snap)
+
+    # ------------------------------------------------------------------
+    # bucket lifecycle (VERDICT r2 #2: fixed n_buckets made 1.6 TB
+    # buckets inevitable at 100 TB; splitting keeps compaction spikes
+    # and touched-bucket resolves bounded as the table grows)
+    # ------------------------------------------------------------------
+    def split_buckets(self, factor: int = 2) -> None:
+        """Raise the bucket modulus — METADATA-ONLY (Iceberg
+        partition-spec-evolution analog).  Existing entries keep their
+        write-time modulus and stay readable/prunable (an old entry
+        (m, r) is exactly the union of current residues {r, r+m, …});
+        new folds and majors write at the new modulus, so the split is
+        realized lazily, component by component, with zero immediate
+        I/O.  ``factor`` must be a power of two so every historical
+        modulus divides the current one."""
+        if factor < 2 or (factor & (factor - 1)):
+            raise ValueError("factor must be a power of two >= 2")
+        new_snap = dict(
+            self._snap,
+            version=self.version + 1,
+            n_buckets=self.n_buckets * factor,
+        )
+        self._publish(new_snap)
+
+    def split_bucket(self, key: str) -> list[str]:
+        """Eagerly rewrite ONE pre-split base entry into its children at
+        the current modulus (``key`` is a modulus-qualified snapshot
+        bucket key, e.g. ``"64:3"``).  Cost O(that bucket); no resolve
+        needed — base entries are one-row-per-key, the rewrite only
+        re-partitions them.  Pending L1/L0 rows over the same keys are
+        untouched: read-time resolve handles them regardless of the
+        base's modulus.  Returns the new entry keys."""
+        bm = dict(self._snap["buckets"])
+        files = bm.get(key)
+        if not files:
+            raise ValueError(f"unknown or empty bucket entry {key!r}")
+        m, _r = _bkey_parse(key)
+        if m == self.n_buckets:
+            raise ValueError(
+                f"bucket {key!r} is already at the current modulus "
+                f"{self.n_buckets}; call split_buckets() first"
+            )
+        out = self._write_bucketed(self._raw(self._abs(files)), "base")
+        del bm[key]
+        bm.update(out)
+        new_snap = dict(self._snap, version=self.version + 1, buckets=bm)
+        self._publish(new_snap)
+        return sorted(out)
 
     # ------------------------------------------------------------------
     # maintenance
@@ -1139,8 +1453,7 @@ class LakehouseTable:
             l1={},
             deltas=[],
         )
-        _commit_snapshot(os.path.join(self.path, _SNAP_DIR), new_snap)
-        self._snap = new_snap
+        self._publish(new_snap)
 
     def purge_tombstones(self, horizon_seq: int) -> int:
         """Physically drop tombstones with ``_commit_seq <= horizon_seq``.
@@ -1184,13 +1497,95 @@ class LakehouseTable:
             l1={},
             deltas=[],
         )
-        _commit_snapshot(os.path.join(self.path, _SNAP_DIR), new_snap)
-        self._snap = new_snap
+        self._publish(new_snap)
         return n_purged
 
+    def _snapshot_file_refs(self, version: int, tolerant: bool = False):
+        """(data file rels, auxiliary rels) referenced by one retained
+        snapshot: base + L1 + L0 data files, manifest-row delta files,
+        manifest spill sidecars and file-list sidecars.  Metadata-only —
+        reads the snapshot JSON and its sidecar JSONs, never lists the
+        data directory.  ``tolerant`` skips sidecars that are already
+        gone (expired snapshots being torn down)."""
+        snap_file = os.path.join(self.path, _SNAP_DIR, _snap_name(version))
+        with open(snap_file) as f:
+            s = _normalize_snap(json.load(f))
+        aux = set(s.get("manifest_spill", []))
+        aux |= set((s.get("buckets_ref") or {}).values())
+        aux |= set((s.get("l1_ref") or {}).values())
+        try:
+            _resolve_filelists(self.path, s)
+        except FileNotFoundError:
+            if not tolerant:
+                raise
+            s.setdefault("buckets", {})
+            s.setdefault("l1", {})
+        data = set()
+        for ps in s.get("buckets", {}).values():
+            data.update(ps)
+        for e in s.get("l1", {}).values():
+            data.update(e["files"])
+        for e in s.get("deltas", []):
+            data.update(e["files"])
+        # NOTE: manifest rows' delta_files are deliberately NOT refs —
+        # once compaction supersedes a commit's delta AND every snapshot
+        # still holding it in buckets/l1/deltas expires, the CDC-out
+        # window over it closes (changes_between detects the missing
+        # file and raises its documented "window closed" error).
+        return data, aux
+
+    def expire_snapshots(self, retain_last: int = 1) -> dict:
+        """Expire old snapshots AND delete the files only they reference
+        — the Iceberg ``expireSnapshots`` analog, and the scale path for
+        reclaiming superseded compaction outputs: candidates come from
+        DIFFING snapshot metadata, so nothing ever lists the data
+        directory (object-store-safe; VERDICT r2 #4).  Coupling file
+        removal with snapshot expiry also means ``load(version=...)`` of
+        a reclaimed version fails fast with "snapshot not found" instead
+        of a mid-scan parquet FileNotFound (ADVICE.md).  The current
+        snapshot is always retained.  Returns removal counts."""
+        snap_dir = os.path.join(self.path, _SNAP_DIR)
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(snap_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        retain_last = max(1, retain_last)
+        retained = set(versions[-retain_last:]) | {self.version}
+        expired = [v for v in versions if v not in retained]
+        if not expired:
+            return {"snapshots_expired": 0, "files_removed": 0}
+        live: set[str] = set()
+        for v in sorted(retained):
+            data, aux = self._snapshot_file_refs(v)
+            live |= data | aux
+        dead: set[str] = set()
+        for v in expired:
+            data, aux = self._snapshot_file_refs(v, tolerant=True)
+            dead |= data | aux
+        removed = 0
+        for rel in sorted(dead - live):
+            p = os.path.join(self.path, rel)
+            try:
+                os.unlink(p)
+                removed += 1
+            except FileNotFoundError:
+                pass
+        for v in expired:
+            os.unlink(os.path.join(snap_dir, _snap_name(v)))
+        return {"snapshots_expired": len(expired), "files_removed": removed}
+
     def vacuum(self, grace_secs: float = 3600.0) -> int:
-        """Delete data files not referenced by the latest snapshot
-        (orphans from crashed commits / superseded compactions).
+        """Remove ORPHAN files: ones referenced by NO retained snapshot
+        (crashed ``prepare_delta`` leftovers, losers of snapshot-conflict
+        races).  This is the Iceberg ``remove_orphan_files`` analog — the
+        one maintenance op that must list the store, because a true
+        orphan appears in no metadata at all; run it rarely.  Superseded
+        compaction outputs are NOT orphans (older retained snapshots
+        still reference them — so vacuum alone never invalidates time
+        travel or an open ``changes_between`` window, ADVICE.md); they
+        are reclaimed by ``expire_snapshots``, which never lists the
+        data directory.
 
         ``grace_secs`` (Iceberg-style retention): files YOUNGER than the
         window are kept even if unreferenced — a delta written by an
@@ -1199,26 +1594,23 @@ class LakehouseTable:
         under a live writer would delete files the next snapshot is
         about to reference (ADVICE.md).  Pass 0 only when no writer can
         be active."""
-        live = {
-            os.path.join(self.path, rel)
-            for rel in self._live_files()
-        }
-        # manifest spill sidecars: a writer that lost a snapshot-conflict
-        # race may have written one that was never referenced
-        live |= {
-            os.path.join(self.path, rel)
-            for rel in self._snap.get("manifest_spill", [])
-        }
+        snap_dir = os.path.join(self.path, _SNAP_DIR)
+        live: set[str] = set()
+        for fn in os.listdir(snap_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                data, aux = self._snapshot_file_refs(int(fn[1:-5]))
+                live |= data | aux
+        live = {os.path.join(self.path, rel) for rel in live}
         now = time.time()
         removed = 0
-        for root in (_DATA_DIR, _MANIFEST_DIR):
+        for root in (_DATA_DIR, _MANIFEST_DIR, _FILELIST_DIR):
             top = os.path.join(self.path, root)
             if not os.path.isdir(top):
                 continue
             for dirpath, _dirs, fnames in os.walk(top, topdown=False):
                 for fn in fnames:
                     p = os.path.join(dirpath, fn)
-                    if not p.endswith(".parquet") or p in live:
+                    if not p.endswith((".parquet", ".json")) or p in live:
                         continue
                     try:
                         age = now - os.path.getmtime(p)
@@ -1295,10 +1687,15 @@ def _commit_snapshot(snap_dir: str, snap: dict) -> None:
     final name (link(2) fails with EEXIST if another writer won — the
     optimistic-concurrency check), unlink temp."""
     final = os.path.join(snap_dir, _snap_name(snap["version"]))
+    to_write = snap
+    if snap.get("buckets_ref") is not None or snap.get("l1_ref") is not None:
+        # ref-based layout: the inline buckets/l1 maps are in-memory
+        # working state only — the durable form is the sidecar refs
+        to_write = {k: v for k, v in snap.items() if k not in ("buckets", "l1")}
     fd, tmp = tempfile.mkstemp(dir=snap_dir, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
-            json.dump(snap, f)
+            json.dump(to_write, f)
             f.flush()
             os.fsync(f.fileno())
         try:

@@ -123,8 +123,12 @@ def test_compaction_preserves_state_and_prunes_files(spark, tmp_path):
     after = t.read(include_deleted=True).orderBy("doc_id").collect()
     assert before == after
     assert t.vacuum() == 0  # grace window protects young files (ADVICE.md)
-    removed = t.vacuum(grace_secs=0)
-    assert removed > 0  # superseded delta files cleaned
+    # superseded delta files are NOT orphans: older retained snapshots
+    # still reference them, so vacuum leaves them (time travel stays
+    # valid) and expire_snapshots — pure metadata diff — reclaims them
+    assert t.vacuum(grace_secs=0) == 0
+    stats = t.expire_snapshots(retain_last=1)
+    assert stats["files_removed"] > 0 and stats["snapshots_expired"] > 0
     assert t.read(include_deleted=True).orderBy("doc_id").collect() == after
 
 
@@ -162,8 +166,102 @@ def test_time_travel_history_and_changes(spark, tmp_path):
     assert seqs[0] >= 500 and seqs[1] <= 1499
     assert "_deleted" in ch.columns  # tombstones ride the feed
 
-    # window closes after compaction + zero-grace vacuum
+    # window closes after compaction + snapshot expiry
     t.compact()
-    t.vacuum(grace_secs=0)
+    t.expire_snapshots(retain_last=1)
     with _pt.raises(FileNotFoundError, match="incremental window closed"):
         t.changes_between(v1, v3).count()
+    # expired version is gone with a CLEAR error, not a mid-scan
+    # parquet FileNotFound (ADVICE.md: expiry couples file removal
+    # with snapshot removal)
+    with _pt.raises(FileNotFoundError, match=f"snapshot v{v1}"):
+        LakehouseTable.load(spark, path, version=v1)
+
+
+def test_expire_snapshots_never_lists_data_dir(spark, tmp_path, monkeypatch):
+    """The scale contract for maintenance (VERDICT r2 #4): reclaiming
+    superseded files is a snapshot-metadata diff — no os.walk/listdir of
+    the data directory (object-store safe)."""
+    import os as _os
+    import dlt_spark.lakehouse as lh
+
+    path = str(tmp_path / "t")
+    t = LakehouseTable.create(spark, path, n_buckets=8, max_deltas=100)
+    for i in range(3):
+        t.merge(_updates(spark, i * 600, i * 600 + 599), "j", i, i * 600, i * 600 + 599)
+    t.compact()
+    before = t.read().count()
+
+    data_top = _os.path.join(path, "data")
+    real_walk, real_listdir = _os.walk, _os.listdir
+
+    def guarded_walk(top, *a, **k):
+        assert not str(top).startswith(data_top), "expire listed the data dir"
+        return real_walk(top, *a, **k)
+
+    def guarded_listdir(p):
+        assert not str(p).startswith(data_top), "expire listed the data dir"
+        return real_listdir(p)
+
+    monkeypatch.setattr(lh.os, "walk", guarded_walk)
+    monkeypatch.setattr(lh.os, "listdir", guarded_listdir)
+    stats = t.expire_snapshots(retain_last=1)
+    assert stats["files_removed"] > 0
+    monkeypatch.undo()
+    assert t.read().count() == before
+    # time travel to retained (latest) version still works
+    assert LakehouseTable.load(spark, path, version=t.version).read().count() == before
+
+
+def test_forced_reapply_of_spilled_manifest_supersedes(spark, tmp_path, monkeypatch):
+    """ADVICE.md (medium): a forced re-apply of a batch whose manifest
+    row already spilled to an immutable parquet sidecar must not leave a
+    duplicate (job_id, batch_id) row — the stale spilled row is recorded
+    as superseded and filtered out of manifests_df()/changes_between()."""
+    import dlt_spark.lakehouse as lh
+
+    monkeypatch.setattr(lh, "MANIFEST_TAIL", 3)  # spill after >6 rows
+    path = str(tmp_path / "t")
+    t = LakehouseTable.create(spark, path, n_buckets=4, max_deltas=100)
+    for i in range(8):
+        t.merge(_updates(spark, i * 200, i * 200 + 199), "j", i, i * 200, i * 200 + 199)
+    assert t._snap["manifest_spill"], "precondition: spill happened"
+    assert not any(
+        m["job_id"] == "j" and m["batch_id"] == 0 for m in t._snap["manifests"]
+    ), "precondition: batch 0's row lives only in the sidecar"
+
+    old_row = t._find_manifest("j", 0)
+    m = t.merge(_updates(spark, 0, 199), "j", 0, 0, 199, force=True)
+    rows = [
+        r
+        for r in t.manifests_df().collect()
+        if r["job_id"] == "j" and r["batch_id"] == 0
+    ]
+    assert len(rows) == 1, f"duplicate manifest rows after force: {rows}"
+    assert rows[0]["snapshot_version"] == m["snapshot_version"] > old_row["snapshot_version"]
+    # _find_manifest resolves to the replacement, not the stale row
+    assert t._find_manifest("j", 0)["snapshot_version"] == m["snapshot_version"]
+    # the supersession survives reload
+    t2 = LakehouseTable.load(spark, path)
+    assert t2._find_manifest("j", 0)["snapshot_version"] == m["snapshot_version"]
+
+
+def test_tier1_broadcast_cap_enforced(spark, tmp_path, monkeypatch):
+    """ADVICE.md: an explicit tier=1 read above BROADCAST_ROWS_T1 must
+    degrade to the key-broadcast tier instead of broadcasting unbounded
+    full rows."""
+    import dlt_spark.lakehouse as lh
+
+    path = str(tmp_path / "t")
+    t = LakehouseTable.create(spark, path, n_buckets=4, max_deltas=100)
+    t.merge(_updates(spark, 0, 999), "j", 0, 0, 999)
+    t.compact()
+    t.merge(_updates(spark, 1000, 1099, seed=7), "j", 1, 1000, 1099)
+    expected = {
+        tuple(r) for r in t.read(tier=3).select("doc_id", "_commit_seq").collect()
+    }
+    monkeypatch.setattr(lh, "BROADCAST_ROWS_T1", 0)
+    got = {
+        tuple(r) for r in t.read(tier=1).select("doc_id", "_commit_seq").collect()
+    }
+    assert got == expected
