@@ -134,12 +134,20 @@ def main(argv: list[str] | None = None) -> int:
     vb.add_argument("--master", default=None)
 
     ex = sub.add_parser("export", help="export the table's final state "
-                                       "(parquet/csv/json destination layer)")
+                                       "(parquet/csv/json file or jdbc "
+                                       "warehouse destination layer)")
     ex.add_argument("--table", required=True)
-    ex.add_argument("--out", required=True)
+    ex.add_argument("--out", required=True,
+                    help="output path, or the JDBC URL for --format jdbc")
     ex.add_argument("--format", default="parquet",
-                    choices=["parquet", "csv", "json"])
+                    choices=["parquet", "csv", "json", "jdbc"])
     ex.add_argument("--partitions", type=int, default=None)
+    ex.add_argument("--jdbc-table", default=None,
+                    help="destination table name (jdbc only)")
+    ex.add_argument("--jdbc-option", action="append", default=[],
+                    metavar="K=V",
+                    help="extra jdbc writer option (driver=, user=, "
+                         "batchsize=, numPartitions=, ...); repeatable")
     ex.add_argument("--at-version", type=int, default=None,
                     help="export a retained older snapshot (time travel)")
     ex.add_argument("--master", default=None)
@@ -352,8 +360,11 @@ def main(argv: list[str] | None = None) -> int:
         from dlt_spark.lakehouse import LakehouseTable
 
         t = LakehouseTable.load(spark, args.table, version=args.at_version)
+        jdbc_opts = dict(kv.split("=", 1) for kv in args.jdbc_option)
         n = export_table(t, args.out, fmt=args.format,
-                         partitions=args.partitions)
+                         partitions=args.partitions,
+                         jdbc_table=args.jdbc_table,
+                         jdbc_options=jdbc_opts or None)
         print(json.dumps({"exported_rows": n, "format": args.format,
                           "out": args.out}))
         return 0

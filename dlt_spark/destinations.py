@@ -15,10 +15,17 @@ reason).
   a string; here tokens join to a comma string, one vectorized
   expression (S7 in SURVEY §2.1: "df.write.csv if ever required").
 - json: line-delimited, typed.
-
-A JDBC warehouse sink is one ``df.write.format("jdbc")`` away and takes
-none of this code with it — the export keeps the same final-state
-DataFrame contract.
+- jdbc: the network-warehouse analog of the reference's Postgres sink
+  (destinations/postgres.go:120-169 bulkInsert) — ``out_path`` is the
+  JDBC URL, ``jdbc_table``/``jdbc_options`` name the target.  Executors
+  write partitions concurrently (the reference fans its bulkInserts
+  across csv_worker_count goroutines; here each Spark task holds one
+  connection).  The token array serializes to the same one-string field
+  the reference ships to its warehouses (ConvertToCSVLine /
+  big_query.go CSV staging) — warehouse-portable DDL, no array-type
+  dependency.  Tested end-to-end against the Derby embedded driver that
+  ships inside pyspark's jars (no network in the sandbox; a real
+  Postgres/BigQuery JDBC target is the same call with its URL+driver).
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ from pyspark.sql import functions as F
 
 from dlt_spark.lakehouse import LakehouseTable
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "csv", "json", "jdbc")
 
 
 def final_state(table: LakehouseTable) -> DataFrame:
@@ -52,18 +59,26 @@ def export_table(
     out_path: str,
     fmt: str = "parquet",
     partitions: int | None = None,
+    jdbc_table: str | None = None,
+    jdbc_options: dict[str, str] | None = None,
 ) -> int:
     """Write the table's final state to ``out_path``; returns row count
-    (counted via Observation during the write — one job)."""
+    (counted via Observation during the write — one job).
+
+    For ``fmt="jdbc"``, ``out_path`` is the JDBC URL (e.g.
+    ``jdbc:postgresql://host/db`` or ``jdbc:derby:/tmp/db;create=true``),
+    ``jdbc_table`` the destination table, and ``jdbc_options`` extra
+    writer options (``driver``, ``user``, ``batchsize``,
+    ``numPartitions``, ...)."""
     if fmt not in FORMATS:
         raise ValueError(f"unknown export format {fmt!r} (supported: {FORMATS})")
     from pyspark.sql import Observation
 
     df = final_state(table)
-    if fmt == "csv":
-        # CSV cannot nest: serialize the token array the way the
-        # reference's CSV line does (schema/base.go:100-107 marshals the
-        # payload to one string field)
+    if fmt in ("csv", "jdbc"):
+        # These sinks cannot nest: serialize the token array the way the
+        # reference's warehouse line does (schema/base.go:100-107
+        # marshals the payload to one string field)
         df = df.withColumn(
             "tokens", F.array_join(F.col("tokens").cast("array<string>"), ",")
         )
@@ -74,5 +89,12 @@ def export_table(
     writer = df.write.mode("overwrite")
     if fmt == "csv":
         writer = writer.option("header", "true")
-    getattr(writer, fmt)(out_path)
+    if fmt == "jdbc":
+        if not jdbc_table:
+            raise ValueError("fmt='jdbc' requires jdbc_table")
+        for k, v in (jdbc_options or {}).items():
+            writer = writer.option(k, v)
+        writer.jdbc(out_path, jdbc_table)
+    else:
+        getattr(writer, fmt)(out_path)
     return int(obs.get["n"] or 0)
