@@ -53,6 +53,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dlt-spark")
+    ap.add_argument(
+        "--provider", action="append", default=[], metavar="NAME=ROOT",
+        help="register a storage provider (repeatable; before the "
+             "subcommand): any --log/--table/--out of the form "
+             "name://rest resolves to ROOT/rest — the reference's "
+             "storage-provider map (schema/storage_provider.go:15-61). "
+             "Providers with Hadoop conf come from the config file's "
+             "providers: section.",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("gen", help="generate a deterministic change log")
@@ -159,6 +168,20 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
+    # storage providers: CLI registrations now; config's providers:
+    # section below (with --config); paths resolve after the session
+    # exists so provider Hadoop conf can land on it
+    from dlt_spark import storage
+
+    for kv in args.provider:
+        name, root = kv.split("=", 1)
+        storage.register_provider(name, root)
+    if getattr(args, "config", None):
+        import yaml
+
+        with open(args.config) as f:
+            storage.load_providers((yaml.safe_load(f) or {}).get("providers", []))
+
     # resolve named connection → source/destination/run knobs
     if getattr(args, "connection", None):
         from dlt_spark.config import get_connection_details, load_config
@@ -190,6 +213,11 @@ def main(argv: list[str] | None = None) -> int:
     from dlt_spark.session import get_spark
 
     spark = get_spark(f"dlt-{args.cmd}", master=args.master)
+
+    for attr in ("log", "table", "out"):
+        val = getattr(args, attr, None)
+        if isinstance(val, str):
+            setattr(args, attr, storage.resolve(val, spark))
 
     if args.cmd == "gen":
         from dlt_spark.sources.changelog import write_change_log
