@@ -149,6 +149,61 @@ def main() -> int:
     full.write.format("noop").mode("overwrite").save()
     mor_read_t3_secs = time.monotonic() - t0
 
+    # --- cascade-delete vs plain exploded ingest (VERDICT r2 #3
+    # done-criterion: cascade throughput within 2× of the plain path).
+    # Same exploded-schema log (3 children/event), 10% parent deletes —
+    # EVERY batch contains deletes, so this is the worst case: each
+    # batch pays the bucket-pruned candidate lookup and a commit
+    # barrier.  Delete-free batches would pipeline at plain speed. ---
+    from pyspark.sql import functions as F
+
+    n3 = max(50_000, n_events // 8)
+    pw3 = max(10_000, n3 // 32)
+    log3 = os.path.join(work, "log3")
+    ev3 = generate_change_log(spark, n3, seed=44, version_mix=(1.0, 0.0, 0.0))
+    exploded_ev = ev3.withColumn(
+        "payload",
+        F.when(
+            F.col("op") != "D",
+            F.to_json(F.struct(
+                F.slice(F.col("tokens"), 1, 4).alias("block"),
+                F.array(
+                    F.slice(F.col("tokens"), 5, 8),
+                    F.slice(F.col("tokens"), 13, 8),
+                ).alias("txs"),
+            )),
+        ),
+    ).withColumn("tokens", F.lit(None).cast("array<int>"))
+    write_change_log(exploded_ev, log3, part_width=pw3)
+    cascade_times: dict[str, float] = {}
+    bw3 = max(1, n3 // batch_count)
+    for schema, qname in (
+        ("exploded", "cdc_exploded_plain"),
+        ("exploded_cascade", "cdc_exploded_cascade"),
+    ):
+        # bulk replay (adversarial for cascade: deletes in EVERY batch,
+        # so each pipelined prepare re-normalizes its in-flight gap)
+        tbl3 = os.path.join(work, f"tbl3_{schema}")
+        t0 = time.monotonic()
+        run_incremental(
+            spark, log3, tbl3, schema=schema, batch_width=bw3,
+            n_buckets=64, log_part_width=pw3, max_inflight=max_inflight,
+        )
+        cascade_times[qname] = round(time.monotonic() - t0, 3)
+        shutil.rmtree(tbl3, ignore_errors=True)
+        # steady-state sync ticks (one batch per run, watermark current —
+        # the deployment shape; the cascade gap is empty by construction)
+        tbl4 = os.path.join(work, f"tbl4_{schema}")
+        t0 = time.monotonic()
+        for b in range(batch_count):
+            run_incremental(
+                spark, log3, tbl4, schema=schema,
+                seq_from=b * bw3, seq_to=(b + 1) * bw3 - 1,
+                batch_width=bw3, n_buckets=64, log_part_width=pw3,
+            )
+        cascade_times[qname + "_ticks"] = round(time.monotonic() - t0, 3)
+        shutil.rmtree(tbl4, ignore_errors=True)
+
     # --- headline queries at the SF dir ---
     from dlt_spark.entry_queries import QUERIES
 
@@ -156,6 +211,7 @@ def main() -> int:
         "cdc_replay": round(cdc_secs, 3),
         "mor_read_7deltas": round(mor_read_secs, 3),
         "mor_read_7deltas_fullresolve": round(mor_read_t3_secs, 3),
+        **cascade_times,
     }
     for name in (
         "cdc_lww_final_state",

@@ -156,65 +156,94 @@ class ExplodedAdapter:
         )
 
 
-    def expand_deletes(self, normalized: DataFrame, table) -> DataFrame:
+    def expand_deletes(
+        self, normalized: DataFrame, table, del_rows=None, uncovered=None
+    ) -> DataFrame:
         """Cascade expansion (runner hook, called between normalize and
         dedup when ``cascade_deletes``): for each parent-delete event,
         emit one tombstone per candidate child key at the delete's seq.
 
-        Candidates = the parent's live children in the TABLE plus
-        children produced EARLIER IN THIS BATCH (visible only here).
-        The table lookup is BUCKET-PRUNED (VERDICT r2 #3): the table
-        buckets child rows by parent (``bucket_expr``), so the batch's
-        distinct delete-parents — collected driver-side, they are few —
-        map to a residue set and ``table.read(buckets=...)`` scans only
-        those buckets' files, O(parents-in-batch) buckets instead of the
-        full table.  A batch with NO deletes returns immediately with
-        zero table I/O (the runner pipelines such batches freely).
-        Duplicate tombstones for a key collapse in the downstream LWW
-        dedup; a child re-inserted at seq > delete_seq wins the resolve.
+        Tombstones are LWW-IDEMPOTENT — one at del_seq only takes
+        effect where it is the newest version of its key (re-deleting a
+        dead child is a no-op; a child re-inserted or force-replayed at
+        seq > del_seq outranks it) — which buys two structural wins:
+
+        - the table lookup is the RESOLVE-FREE ``scan_raw``: blanket-
+          tombstoning every historical child key converges to the same
+          state as a resolved live-children lookup, so the scan never
+          exchanges a row.  It is BUCKET-PRUNED (the table buckets
+          child rows by parent via ``bucket_expr``, so the batch's
+          delete-parents map to a residue set) and COLUMN-PROJECTED
+          (key + provenance only — token arrays never leave the parquet
+          ReadSchema);
+        - the lookup does NOT need current table state, so delete
+          batches PIPELINE like any other: candidates = table at
+          whatever watermark was committed when this prepare started,
+          plus ``uncovered`` — the runner's normalized log slice for
+          (watermark, batch-start), i.e. the children of batches still
+          in flight — plus this batch's own earlier children.  Overlap
+          between the three double-covers keys; duplicates collapse in
+          ``dropDuplicates``/LWW.
+
+        ``del_rows`` — (p, del_seq, del_source, b) rows prefetched by
+        the runner's single range scan (residue b computed in the same
+        job) — saves the per-batch collect; without it (direct adapter
+        use) the lookup derives them itself.  A batch with NO deletes
+        returns immediately with zero table I/O.
         """
         if not self.cascade_deletes:
             return normalized
         spark = normalized.sparkSession
-        del_rows = (
-            normalized.where(F.col("op") == "D")
-            .select(
-                F.col("parent_doc_id").alias("p"),
-                F.col("commit_seq").alias("del_seq"),
-                F.col("source").alias("del_source"),
+        if del_rows is None:
+            del_rows = (
+                normalized.where(F.col("op") == "D")
+                .select(
+                    F.col("parent_doc_id").alias("p"),
+                    F.col("commit_seq").alias("del_seq"),
+                    F.col("source").alias("del_source"),
+                    F.pmod(F.xxhash64("parent_doc_id"), F.lit(table.n_buckets))
+                    .cast("int")
+                    .alias("b"),
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
-        )
         if not del_rows:
             return normalized  # delete-free batch: no lookup at all
         dels = F.broadcast(
-            spark.createDataFrame(del_rows, "p string, del_seq long, del_source string")
+            spark.createDataFrame(
+                [(r["p"], r["del_seq"], r["del_source"]) for r in del_rows],
+                "p string, del_seq long, del_source string",
+            )
         )
         in_batch = normalized.where(F.col("op") != "D").select(
             "doc_id", "kind", "array_index", "parent_doc_id",
             F.col("commit_seq").alias("child_seq"),
         )
-        parents = sorted({r["p"] for r in del_rows})
+        if uncovered is not None:
+            in_batch = in_batch.unionByName(
+                uncovered.where(F.col("op") != "D").select(
+                    "doc_id", "kind", "array_index", "parent_doc_id",
+                    F.col("commit_seq").alias("child_seq"),
+                )
+            )
+        parents = {r["p"] for r in del_rows}
         buckets = None
         if (
             len(parents) <= self.MAX_PRUNED_PARENTS
             and table.bucket_expr == self.bucket_expr
         ):
-            # residues of the parents under the table's parent-keyed
-            # bucket layout: one tiny local job over |parents| rows
-            buckets = [
-                r["b"]
-                for r in spark.createDataFrame([(p,) for p in parents], "p string")
-                .select(
-                    F.pmod(F.xxhash64("p"), F.lit(table.n_buckets))
-                    .cast("int")
-                    .alias("b")
-                )
-                .distinct()
-                .collect()
-            ]
-        tdf = table.read(buckets=buckets)
+            buckets = sorted({int(r["b"]) % table.n_buckets for r in del_rows})
+        # RESOLVE-FREE lookup (scan_raw): blanket-tombstoning every
+        # historical child key is LWW-idempotent — a tombstone at
+        # del_seq loses to any newer version of the key (re-insert,
+        # forced replay) and re-deleting a dead key is a no-op — so the
+        # candidate scan needs no winner resolution and therefore no
+        # shuffle; its whole plan is the pruned, projected parquet scan.
+        tdf = table.scan_raw(
+            buckets=buckets,
+            columns=["doc_id", "kind", "array_index", "parent_doc_id"],
+        )
         if "kind" in tdf.columns:  # empty fresh table has no extras yet
             in_table = tdf.select(
                 "doc_id", "kind", "array_index", "parent_doc_id"
@@ -236,7 +265,14 @@ class ExplodedAdapter:
                 "array_index",
                 "parent_doc_id",
             )
-            .dropDuplicates(["doc_id", "commit_seq"])
+            # NO dropDuplicates here: the downstream LWW dedup collapses
+            # duplicate tombstones on the same doc_id shuffle (map-side
+            # partial) — a separate pre-shuffle was one whole extra
+            # stage per delete batch for nothing but metric cosmetics.
+            # Consequence: a delete batch's _n_events counts candidate
+            # multiplicity (every stored version / in-flight copy of a
+            # child yields one synthetic tombstone row); final state is
+            # unaffected (identical rows tie-break identically).
         )
         return normalized.unionByName(tombs)
 

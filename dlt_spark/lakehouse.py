@@ -611,6 +611,7 @@ class LakehouseTable:
         buckets=None,
         include_deleted: bool = False,
         tier: int | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Current table state (optionally restricted to buckets) —
         tiered MoR resolve, see the module docstring §3.  Base files are
@@ -620,7 +621,17 @@ class LakehouseTable:
         model above BASE_OVER_PENDING_MIN) — on a small or delta-heavy
         table the plain resolve is both simpler and faster.  ``tier``
         overrides the choice (diagnostics/tests).  Tombstones filtered
-        unless ``include_deleted``."""
+        unless ``include_deleted``.
+
+        ``columns`` projects the read BEFORE the LWW resolve: the
+        winner per key is decided by (_commit_seq, _deleted, _row_id)
+        alone, so dropping payload columns above the scan cannot change
+        which row wins — and Catalyst pushes the narrowed projection
+        into the parquet ReadSchema, so a key/metadata consumer (e.g.
+        the cascade-delete candidate lookup) never reads the token
+        arrays at all (~10× less I/O on this table's row shape).
+        System columns needed by the resolve/tombstone filter are kept
+        automatically."""
         bm = self._snap["buckets"]
         if buckets is None:
             keys = list(bm)
@@ -633,10 +644,18 @@ class LakehouseTable:
 
         def _bucket_filter(df: DataFrame) -> DataFrame:
             if buckets is not None:
-                return df.where(
+                df = df.where(
                     F.col("_bucket").isin([int(b) for b in buckets])
                 )
-            return df
+            return _project(df)
+
+        def _project(df: DataFrame) -> DataFrame:
+            if columns is None:
+                return df
+            keep = list(dict.fromkeys(
+                [*columns, "doc_id", "_commit_seq", "_deleted", "_row_id"]
+            ))
+            return df.select(*[c for c in keep if c in df.columns])
 
         # base entries written under an older (coarser) modulus contain
         # sibling residues too — filter them out; entries at the current
@@ -644,7 +663,7 @@ class LakehouseTable:
         mixed = any(_bkey_parse(k)[0] != self.n_buckets for k in keys)
 
         def _base_filter(df: DataFrame) -> DataFrame:
-            return _bucket_filter(df) if mixed else df
+            return _bucket_filter(df) if mixed else _project(df)
 
         if not pend_files:
             # base is one-row-per-key on disk already
@@ -693,6 +712,40 @@ class LakehouseTable:
         if not include_deleted:
             out = out.where(~F.col("_deleted"))
         return out
+
+    def scan_raw(
+        self, buckets=None, columns: list[str] | None = None
+    ) -> DataFrame:
+        """UNRESOLVED row multiset (base ∪ L1 ∪ L0): every stored
+        version of every key, bucket-pruned and column-projected, with
+        NO LWW resolve — the plan is just the (narrowed) parquet scan,
+        zero shuffle.  For consumers whose downstream semantics are
+        LWW-idempotent this is strictly cheaper than read(): the
+        cascade-delete candidate lookup is the canonical case — a
+        tombstone emitted at del_seq only takes effect where it is the
+        newest version of that key (stale for re-inserted or
+        forced-replay-newer children), so blanket-tombstoning every
+        historical child key converges to exactly the resolved-lookup
+        state while the lookup itself never exchanges a row."""
+        bm = self._snap["buckets"]
+        if buckets is None:
+            keys = list(bm)
+        else:
+            residues = {int(b) for b in buckets}
+            keys = [k for k in bm if _key_matches_residues(k, residues)]
+        files = [p for k in keys for p in bm.get(k, [])]
+        pend_files, _ = self._pending(buckets)
+        df = self._raw(self._abs(files + pend_files))
+        if buckets is not None:
+            # prunes sibling residues in coarser-modulus base entries
+            # and the unbucketed L0 rows
+            df = df.where(F.col("_bucket").isin([int(b) for b in buckets]))
+        if columns is not None:
+            keep = list(dict.fromkeys(
+                [*columns, "doc_id", "_commit_seq", "_deleted", "_row_id"]
+            ))
+            df = df.select(*[c for c in keep if c in df.columns])
+        return df
 
     def _read_merge_t1(self, base: DataFrame, pending: DataFrame) -> DataFrame:
         """Tier-1 read: broadcast the RESOLVED delta (full rows) and

@@ -157,15 +157,17 @@ def test_cascade_lookup_bucket_pruned_and_pipelined(spark, tmp_path, monkeypatch
     tbl = str(tmp_path / "tbl")
     write_change_log(_ev(spark, rows), log, part_width=2)
 
-    # count table reads during prepares and record the bucket pruning
+    # count candidate-lookup scans during prepares and record the bucket
+    # pruning (the lookup is the resolve-free scan_raw — read() stays
+    # untouched on the ingest path)
     reads = []
-    orig_read = LakehouseTable.read
+    orig_scan = LakehouseTable.scan_raw
 
-    def spy_read(self, buckets=None, **kw):
+    def spy_scan(self, buckets=None, **kw):
         reads.append(buckets)
-        return orig_read(self, buckets=buckets, **kw)
+        return orig_scan(self, buckets=buckets, **kw)
 
-    monkeypatch.setattr(LakehouseTable, "read", spy_read)
+    monkeypatch.setattr(LakehouseTable, "scan_raw", spy_scan)
     # crash injection on the cascade path (previously silently ignored)
     with pytest.raises(RuntimeError, match="injected crash"):
         run_incremental(spark, log, tbl, schema="exploded_cascade",
@@ -173,9 +175,12 @@ def test_cascade_lookup_bucket_pruned_and_pipelined(spark, tmp_path, monkeypatch
                         fail_after_batches=3)
     run_incremental(spark, log, tbl, schema="exploded_cascade",
                     batch_width=2, n_buckets=8, log_part_width=2)
-    # exactly ONE table read happened (the single delete-batch); it was
-    # bucket-pruned to p3's residue
-    assert len(reads) == 1 and reads[0] is not None and len(reads[0]) == 1
+    # only the single delete-batch looks up the table — once per run
+    # that got far enough to prepare it (the crashed run's pool may or
+    # may not have reached it before cancellation) — and every lookup
+    # was bucket-pruned to p3's residue
+    assert 1 <= len(reads) <= 2
+    assert all(r is not None and len(r) == 1 for r in reads)
     monkeypatch.undo()
 
     t = LakehouseTable.load(spark, tbl)
