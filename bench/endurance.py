@@ -107,8 +107,8 @@ def main() -> int:
     if args.write_md:
         md = os.path.join(os.path.dirname(__file__), "..", "BENCH", "ENDURANCE.md")
         with open(md, "a") as f:
-            f.write(f"\n## {args.epochs}-epoch endurance (round 2, "
-                    f"{args.events_per_epoch} ev/epoch, local[{args.cpus}])\n\n")
+            f.write(f"\n## {args.epochs}-epoch endurance "
+                    f"({args.events_per_epoch} ev/epoch, local[{args.cpus}])\n\n")
             f.write("```json\n" + json.dumps(out, indent=2) + "\n```\n\n")
             f.write(
                 "Flatness: median per-epoch latency by fifth of the run "
