@@ -48,6 +48,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-inflight", type=int, default=4,
                    help="concurrent batch preparations (commits stay ordered; "
                         "4 measured best at the bench point)")
+    p.add_argument("--events-file", default=None,
+                   help="append Sync Started/Finished lifecycle events "
+                        "as JSONL here (utils/events.go analog; strictly "
+                        "opt-in, DLT_SPARK_NO_TRACK=1 force-disables)")
     p.add_argument("--master", default=None, help="spark master override")
 
 
@@ -233,8 +237,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "load":
+        from dlt_spark.events import EventLog
         from dlt_spark.plans.runner import run_incremental
 
+        ev = EventLog(args.events_file)
+        ev.sync_started(args.schema, args.table, args.from_seq, args.to_seq,
+                        force=args.force)
         res = run_incremental(
             spark, args.log, args.table, job_id=args.job_id,
             seq_from=args.from_seq, seq_to=args.to_seq,
@@ -244,6 +252,7 @@ def main(argv: list[str] | None = None) -> int:
             log_part_width=args.log_part_width, verbose=args.verbose,
             max_inflight=args.max_inflight,
         )
+        ev.sync_finished(res)
         print(json.dumps({
             "job_id": res.job_id,
             "batches_planned": res.batches_planned,
@@ -283,6 +292,11 @@ def main(argv: list[str] | None = None) -> int:
             from dlt_spark.metrics import MetricsWriter
 
             metrics = MetricsWriter(args.metrics_file, job_id=args.job_id)
+        from dlt_spark.events import EventLog
+
+        ev = EventLog(args.events_file)
+        ev.sync_started(args.schema, args.table, None, None,
+                        interval_secs=args.interval_secs)
 
         rounds = 0
         while True:
@@ -293,6 +307,8 @@ def main(argv: list[str] | None = None) -> int:
                 log_part_width=args.log_part_width,
                 stop_requested=lambda: stop["n"] > 0,
             )
+            if res.batches_applied:
+                ev.sync_finished(res, round=rounds)
             if metrics:
                 metrics.record_run(res, LakehouseTable.load(spark, args.table))
             print(json.dumps({

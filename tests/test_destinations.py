@@ -155,3 +155,33 @@ def test_runner_graceful_stop(spark, tmp_path):
     )
     assert res2.batches_applied == 3
     assert LakehouseTable.load(spark, tbl).watermark() == 2_999
+
+
+def test_event_log_lifecycle(tmp_path, monkeypatch):
+    """utils/events.go analog: Sync Started/Finished JSONL with a stable
+    install id, opt-in sink, and a working opt-out override."""
+    import json as _json
+
+    from dlt_spark.events import EventLog, install_id
+    from dlt_spark.plans.runner import RunResult
+
+    state = str(tmp_path / "state")
+    assert install_id(state) == install_id(state)  # persisted once
+
+    sink = str(tmp_path / "ev.jsonl")
+    ev = EventLog(sink, state_dir=state)
+    ev.sync_started("tokens", "/lake/t", 0, 999, force=False)
+    ev.sync_finished(RunResult("j", 2, 2, 0, 100, 90, 5, 1.5))
+    recs = [_json.loads(l) for l in open(sink)]
+    assert [r["event"] for r in recs] == ["Sync Started", "Sync Finished"]
+    assert recs[0]["install_id"] == install_id(state)
+    assert recs[0]["run_id"] == recs[1]["run_id"]
+    assert recs[1]["properties"]["batches_synced"] == 2
+    assert recs[1]["properties"]["duration_secs"] == 1.5
+
+    # no sink configured → no-op; opt-out env force-disables a sink
+    EventLog(None, state_dir=state).sync_started("t", "d", None, None)
+    monkeypatch.setenv("DLT_SPARK_NO_TRACK", "1")
+    muted = str(tmp_path / "muted.jsonl")
+    EventLog(muted, state_dir=state).sync_started("t", "d", None, None)
+    assert not os.path.exists(muted)
