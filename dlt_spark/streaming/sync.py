@@ -62,7 +62,12 @@ def run_stream_sync(
     commit) are safe here too — foreachBatch epochs are strictly serial.
     """
     adapter = get_adapter(schema)
-    table = LakehouseTable.create(spark, table_path, n_buckets=n_buckets)
+    table = LakehouseTable.create(
+        spark, table_path, n_buckets=n_buckets,
+        # same bucket transform as the batch runner: cascade adapters
+        # bucket child rows by PARENT so their candidate lookups prune
+        bucket_expr=getattr(adapter, "bucket_expr", "doc_id"),
+    )
 
     reader = spark.readStream.schema(_STREAM_SCHEMA)
     if max_files_per_trigger:

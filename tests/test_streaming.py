@@ -148,3 +148,45 @@ def test_stream_sync_restart_noop(spark, stream_log, tmp_path):
     v1 = t1.version
     t2 = run_stream_sync(spark, stream_log, tbl, ckpt, n_buckets=16)
     assert t2.version == v1
+
+
+def test_stream_sync_cascade_deletes(spark, tmp_path):
+    """exploded_cascade through the STREAMING path: foreachBatch epochs
+    are strictly serial, so the cascade's gap slice is empty by
+    construction and the lookup sees every prior epoch's children; the
+    stream table is parent-bucketed (bucket_expr) so the lookup prunes
+    exactly like the batch runner's."""
+    from pyspark.sql import Row
+
+    from dlt_spark.schemas import CHANGE_EVENT_SCHEMA
+    from dlt_spark.sources.changelog import write_change_log
+
+    rows = [
+        Row(commit_seq=1, doc_id="p", op="I", tokens=None,
+            payload='{"block": [1], "txs": [[10], [20]]}',
+            payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=2, doc_id="q", op="I", tokens=None,
+            payload='{"block": [5], "txs": [[50]]}',
+            payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=3, doc_id="p", op="D", tokens=None,
+            payload=None, payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=4, doc_id="p", op="I", tokens=None,
+            payload='{"block": [9], "txs": [[11]]}',
+            payload_version=1, source="s", extracted_at=None),
+    ]
+    log = str(tmp_path / "log")
+    # part_width=2 → two files → with maxFilesPerTrigger=1 the delete
+    # lands in a LATER epoch than p's original children (table lookup)
+    write_change_log(
+        spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA), log, part_width=2
+    )
+    table = run_stream_sync(
+        spark, log, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        schema="exploded_cascade", n_buckets=8, max_files_per_trigger=1,
+    )
+    assert table.bucket_expr == "substring_index(doc_id, '/', 1)"
+    out = {r["doc_id"]: r for r in table.read().collect()}
+    assert set(out) == {"p/block/0", "p/tx/0", "q/block/0", "q/tx/0"}
+    assert list(out["p/block/0"]["tokens"]) == [9]
+    assert list(out["p/tx/0"]["tokens"]) == [11]
+    assert list(out["q/tx/0"]["tokens"]) == [50]
