@@ -34,6 +34,7 @@ value-hash comparison needs.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas-UDF type hints resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -426,6 +427,7 @@ def train_centroids_distributed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1024,
+    literal_cap: int = 100_000,
 ) -> DataFrame:
     """FULLY DISTRIBUTED integer-exact k-means (VERDICT r2 missing-#3 /
     builder NEXT #5): for corpora whose hash-sample can't represent the
@@ -453,9 +455,12 @@ def train_centroids_distributed(
     training.  Overflow headroom: |q|≲scale, so even 10^10 rows sum to
     ~10^13 ≪ 2^63.
 
-    The k×dim literal bounds k·dim to plan-size sanity (~10^5 ints);
-    for larger k·dim swap the literal for a broadcast-join of the
-    centroid table — same plan shape, one extra broadcast."""
+    Above ``literal_cap`` ints of k·dim (plan-size sanity bound for the
+    Catalyst literal) assignment switches to an Arrow-vectorized pandas
+    UDF with the centroid matrix as a Spark BROADCAST variable — still
+    shuffle-free, still int64-exact (numpy int64 == Catalyst long
+    arithmetic), pytest-locked bit-identical to the literal path; this
+    is the k=4096-scale IVF shape."""
     spark = corpus.sparkSession
     q = corpus.select(
         F.md5(F.col(id_col).cast("string")).alias("_h"),
@@ -472,20 +477,25 @@ def train_centroids_distributed(
     dim = len(init[0])
     cent = [list(c) for c in init]
     qv = q.select("q").persist()  # scanned n_iters times
+    use_literal = k * dim <= literal_cap
     try:
         for _ in range(n_iters):
-            cl = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in cent])
-            dists = F.transform(
-                cl,
-                lambda c: F.aggregate(
-                    F.zip_with(F.col("q"), c, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ),
-            )
-            assigned = qv.select(
-                "q", (F.array_position(dists, F.array_min(dists)) - 1).alias("cell")
-            )
+            if use_literal:
+                cl = F.array(
+                    *[F.array(*[F.lit(int(v)) for v in c]) for c in cent]
+                )
+                dists = F.transform(
+                    cl,
+                    lambda c: F.aggregate(
+                        F.zip_with(F.col("q"), c, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+                cell = F.array_position(dists, F.array_min(dists)) - 1
+            else:
+                cell = _assign_cells_arrow(spark, cent)(F.col("q"))
+            assigned = qv.select("q", cell.alias("cell"))
             agg = assigned.groupBy("cell").agg(
                 F.count(F.lit(1)).alias("n"),
                 *[
@@ -506,3 +516,27 @@ def train_centroids_distributed(
         [(int(j), [float(v) for v in cent[j]]) for j in range(k)],
         f"{id_col} long, {vec_col} array<double>",
     )
+
+def _assign_cells_arrow(spark, cent: list[list[int]]):
+    """Nearest-cell assignment as an Arrow-vectorized pandas UDF for the
+    large-k·dim regime where a Catalyst literal would bloat the plan:
+    the k×dim int64 centroid matrix ships ONCE per executor as a Spark
+    broadcast; each Arrow batch computes all its squared distances in
+    one numpy einsum-style pass and takes argmin (first-minimum = the
+    literal path's smallest-cell tie rule).  int64 throughout — the
+    result is bit-identical to the Catalyst-literal assignment
+    (pytest-locked), so both paths feed the same oracle."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    b_cent = spark.sparkContext.broadcast(np.asarray(cent, dtype=np.int64))
+
+    @pandas_udf("long")
+    def assign(qs: pd.Series) -> pd.Series:
+        c = b_cent.value  # (k, dim) int64
+        x = np.stack(qs.to_numpy())  # (n, dim) int64 per Arrow batch
+        # ||x-c||² = ||x||² - 2x·c + ||c||² ; ||x||² is argmin-invariant
+        d = (c * c).sum(axis=1)[None, :] - 2 * (x @ c.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int64))
+
+    return assign

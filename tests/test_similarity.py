@@ -201,3 +201,20 @@ def test_distributed_trainer_bitwise_matches_exact_and_partitioning(
     cents = train_centroids_distributed(corpus, k=8, n_iters=3)
     approx = ivf_topk(planted, corpus, centroids=cents, k=5, nprobe=2)
     assert _found(approx, planted_pairs) >= 0.9
+
+
+def test_distributed_trainer_arrow_assignment_bitwise(spark, corpus):
+    """literal_cap=0 forces the Arrow pandas-UDF assignment (broadcast
+    centroid matrix, the k·dim>cap regime) — must be bit-identical to
+    the Catalyst-literal path: same int64 arithmetic, same
+    first-minimum tie rule."""
+    from dlt_spark.functions.similarity import train_centroids_distributed
+
+    def key(df):
+        return sorted((r["vec_id"], tuple(r["embedding"])) for r in df.collect())
+
+    lit = key(train_centroids_distributed(corpus, k=8, n_iters=3))
+    arrow = key(
+        train_centroids_distributed(corpus, k=8, n_iters=3, literal_cap=0)
+    )
+    assert arrow == lit, "Arrow assignment drifted from Catalyst literal"
