@@ -143,6 +143,14 @@ def main() -> int:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve hand-written sections (headline table, 8→32 analysis)
+    # past the first "## Supplementary" marker across regenerations
+    tail = ""
+    if os.path.exists(md):
+        old = open(md).read()
+        idx = old.find("## Supplementary")
+        if idx >= 0:
+            tail = "\n" + old[idx:]
     with open(md, "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling-efficiency evidence
 
@@ -188,6 +196,7 @@ pipelined batch preparation with ordered commits) contain no
 single-node shortcuts: every stage is a standard Spark shuffle/scan
 that partitions across executors identically on a real cluster.
 """)
+        f.write(tail)
     print(json.dumps(summary))
     shutil.rmtree(work, ignore_errors=True)
     return 0
