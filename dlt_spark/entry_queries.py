@@ -893,6 +893,76 @@ def q_docs_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check — the n-gram-overlap
+    decontamination step every large training pipeline runs before
+    training (GPT-3 App. C / PaLM style): docs sharing any distinct
+    word-5-gram with the benchmark set (stand-in: doc_id % 97 == 0,
+    i.e. an eval suite registered by id) are flagged with their
+    shared-gram count.  Plan shape: per-doc distinct gram hashes (one
+    projection, no shuffle) → explode → EQUI-JOIN on the gram hash —
+    never an all-pairs comparison; at corpus scale the join is
+    hash-partitioned over the gram key space and the benchmark side
+    broadcasts (an eval suite is small by construction)."""
+    _views(spark, sf_dir, "documents")
+    h = _HASH60_SP.format(x="concat_ws(' ', slice(ws, cast(i + 1 AS int), 5))")
+    return spark.sql(f"""
+      WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id,
+              array_distinct(transform(sequence(0, cast(size(ws) - 5 AS int)),
+                i -> {h})) AS grams
+            FROM w WHERE size(ws) >= 5),
+      bench AS (SELECT DISTINCT gh FROM (
+                  SELECT explode(grams) AS gh FROM g WHERE doc_id % 97 = 0)),
+      cand AS (SELECT doc_id, explode(grams) AS gh
+               FROM g WHERE doc_id % 97 != 0)
+      SELECT cand.doc_id, cast(count(*) AS bigint) AS shared_grams
+      FROM cand JOIN bench ON cand.gh = bench.gh
+      GROUP BY cand.doc_id
+    """)
+
+
+# Portable PII scrub: character classes only ([.] instead of an escaped
+# dot), so the Java-regex (Spark) and RE2 (DuckDB) texts are IDENTICAL
+# byte-for-byte — no escaping asymmetry between engines.
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_EMAIL = "[a-zA-Z0-9._]+@[a-zA-Z0-9-]+[.][a-zA-Z][a-zA-Z]+"
+# GFLAG: Spark's regexp_replace is replace-ALL with 3 args; DuckDB
+# replaces only the FIRST match unless given the 'g' flag — the one
+# engine asymmetry in this statement (caught by the planted-PII test).
+_PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       cast(COUNT_SSN AS bigint) AS n_ssn,
+       cast(COUNT_EMAIL AS bigint) AS n_email,
+       md5(regexp_replace(regexp_replace(text,
+           '{_PII_SSN}', '<SSN>'GFLAG),
+           '{_PII_EMAIL}', '<EMAIL>'GFLAG)) AS scrubbed_md5
+FROM documents
+"""
+
+
+def pii_scrub_spark_sql() -> str:
+    """The scrub statement over a ``documents`` view (shared by the
+    entry query and the planted-PII redaction test)."""
+    return _PII_SCRUB_SQL.replace(
+        "COUNT_SSN", f"size(regexp_extract_all(text, '{_PII_SSN}', 0))"
+    ).replace(
+        "COUNT_EMAIL", f"size(regexp_extract_all(text, '{_PII_EMAIL}', 0))"
+    ).replace("GFLAG", "")
+
+
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — scrub SSN- and email-shaped spans and count the
+    redactions (the pre-training privacy pass).  Pure Catalyst
+    regexp_replace/regexp_extract_all (JVM-side, codegen'd, no shuffle,
+    trivially row-parallel at 100 TB); the synthetic corpus contains no
+    PII so the counts are zero here — the redaction semantics are
+    pinned by tests/test_entry_oracles.py::test_pii_scrub_redacts with
+    planted SSNs/emails running this same SQL."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql(pii_scrub_spark_sql())
+
+
 def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-text md5 + head-shingle md5."""
     _views(spark, sf_dir, "documents")
@@ -946,6 +1016,8 @@ QUERIES = {
     "docs_token_count": q_docs_token_count,
     "docs_fingerprint": q_docs_fingerprint,
     "docs_winnow_fingerprint": q_docs_winnow_fingerprint,
+    "docs_contamination": q_docs_contamination,
+    "docs_pii_scrub": q_docs_pii_scrub,
 }
 
 
@@ -1571,6 +1643,25 @@ SELECT doc_id, md5(text) AS fp_full,
        md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp_head
 FROM documents
 """
+
+_ORACLES["docs_contamination"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id,
+        list_distinct(list_transform(range(len(ws) - 4),
+          i -> {_dk_hash60("array_to_string(ws[i + 1:i + 5], ' ')")})) AS grams
+      FROM w WHERE len(ws) >= 5),
+bench AS (SELECT DISTINCT unnest(grams) AS gh FROM g WHERE doc_id % 97 = 0),
+cand AS (SELECT doc_id, unnest(grams) AS gh FROM g WHERE doc_id % 97 <> 0)
+SELECT cand.doc_id, cast(count(*) AS bigint) AS shared_grams
+FROM cand JOIN bench USING (gh)
+GROUP BY cand.doc_id
+"""
+
+_ORACLES["docs_pii_scrub"] = _PII_SCRUB_SQL.replace(
+    "COUNT_SSN", f"len(regexp_extract_all(text, '{_PII_SSN}'))"
+).replace(
+    "COUNT_EMAIL", f"len(regexp_extract_all(text, '{_PII_EMAIL}'))"
+).replace("GFLAG", ", 'g'")
 
 
 def oracles() -> dict[str, str]:

@@ -71,3 +71,42 @@ def test_query_matches_oracle(spark, duck_con, name):
     a, b = _canon(spark_df), _canon(duck_df)
     assert len(a) == len(b), f"{name}: rows {len(a)} != {len(b)}"
     pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
+
+
+def test_pii_scrub_redacts(spark):
+    """Planted-PII redaction semantics (the corpus itself is clean, so
+    the entry query's counts are zero — this pins what the scrub DOES):
+    same SQL as the entry query, on a view with planted SSNs/emails,
+    and the DuckDB oracle agrees byte-for-byte."""
+    import duckdb
+    import pandas as pd
+
+    from dlt_spark.entry_queries import oracles, pii_scrub_spark_sql
+
+    rows = [
+        (1, "call 123-45-6789 or mail a.b@x-co.com today"),
+        (2, "ssn 999-11-2222 twice 999-11-2222 and bob@mail.org"),
+        (3, "no pii here at all"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    got = {r["doc_id"]: r for r in spark.sql(pii_scrub_spark_sql()).collect()}
+    assert (got[1]["n_ssn"], got[1]["n_email"]) == (1, 1)
+    assert (got[2]["n_ssn"], got[2]["n_email"]) == (2, 1)
+    assert (got[3]["n_ssn"], got[3]["n_email"]) == (0, 0)
+    # redaction really replaced the spans: md5 of the expected string
+    import hashlib
+
+    exp1 = "call <SSN> or mail <EMAIL> today"
+    assert got[1]["scrubbed_md5"] == hashlib.md5(exp1.encode()).hexdigest()
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck = {
+        r[0]: r for r in con.execute(oracles()["docs_pii_scrub"]).fetchall()
+    }
+    for d in (1, 2, 3):
+        assert (duck[d][1], duck[d][2], duck[d][3]) == (
+            got[d]["n_ssn"], got[d]["n_email"], got[d]["scrubbed_md5"]
+        )
+    spark.catalog.dropTempView("documents")
