@@ -679,6 +679,31 @@ def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-then-chunk pretraining step: lay
+    documents end to end in a deterministic order and cut fixed
+    512-token training windows; each doc reports its global token
+    offset and the pack range it spans.  One window cumsum (single
+    sort); at 100 TB you run exactly this per SHARD (pack_id keyed by
+    (shard, local offset)) so no global sort exists — the per-shard
+    plan is this one."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql("""
+      WITH c AS (
+        SELECT doc_id, n_chars,
+               sum(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS off0
+        FROM documents)
+      SELECT doc_id,
+             cast(coalesce(off0, 0) AS bigint) AS global_offset,
+             cast(floor(coalesce(off0, 0) / 512) AS bigint) AS pack_start,
+             cast(floor((coalesce(off0, 0) + n_chars - 1) / 512) AS bigint)
+               AS pack_end
+      FROM c
+    """)
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors 0-4.
     Double-precision left-to-right fold on both engines → bit-stable."""
@@ -1057,6 +1082,7 @@ QUERIES = {
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "docs_neardup_verified": q_docs_neardup_verified,
     "docs_dedup_clusters": q_docs_dedup_clusters,
+    "docs_seq_packing": q_docs_seq_packing,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
     "emb_ann_ivf_topk": q_emb_ann_ivf_topk,
@@ -1720,6 +1746,19 @@ SELECT doc_id,
        cast(len(fps) AS bigint) AS n_fp,
        array_to_string(list_transform(fps[1:8], x -> cast(x AS varchar)), ',') AS fp_head
 FROM w
+"""
+
+_ORACLES["docs_seq_packing"] = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off0
+  FROM documents)
+SELECT doc_id,
+       cast(coalesce(off0, 0) AS bigint) AS global_offset,
+       cast(floor(coalesce(off0, 0) / 512) AS bigint) AS pack_start,
+       cast(floor((coalesce(off0, 0) + n_chars - 1) / 512) AS bigint) AS pack_end
+FROM c
 """
 
 _ORACLES["docs_fingerprint"] = """
