@@ -193,3 +193,47 @@ def test_cascade_lookup_bucket_pruned_and_pipelined(spark, tmp_path, monkeypatch
     # oracle cross-check: rows hash-bucket by PARENT on disk
     some = [k for k in t._snap["buckets"] if t._snap["buckets"][k]]
     assert some or t._pending()[0]
+
+
+def test_cascade_forced_replay_is_idempotent(spark, tmp_path):
+    """Force-replaying an OLD range that contains a parent delete must
+    not resurrect or re-kill anything: the replayed delete's blanket
+    tombstones carry its original del_seq, so every newer version in
+    the table (including p's own re-insert at seq 4) outranks them in
+    the LWW resolve — the safety property the resolve-free cascade
+    lookup leans on."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+
+    rows = [
+        Row(commit_seq=1, doc_id="p", op="I", tokens=None,
+            payload='{"block": [1], "txs": [[10], [20]]}',
+            payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=2, doc_id="q", op="I", tokens=None,
+            payload='{"block": [5], "txs": [[50]]}',
+            payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=3, doc_id="p", op="D", tokens=None,
+            payload=None, payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=4, doc_id="p", op="I", tokens=None,
+            payload='{"block": [9], "txs": [[11]]}',
+            payload_version=1, source="s", extracted_at=None),
+    ]
+    log = str(tmp_path / "log")
+    tbl = str(tmp_path / "tbl")
+    write_change_log(_ev(spark, rows), log, part_width=2)
+    run_incremental(spark, log, tbl, schema="exploded_cascade",
+                    batch_width=2, n_buckets=4, log_part_width=2)
+    before = sorted(
+        (r["doc_id"], tuple(r["tokens"] or []))
+        for r in LakehouseTable.load(spark, tbl).read().collect()
+    )
+    # forced partial replay of the range holding the delete (seq 2-3)
+    run_incremental(spark, log, tbl, schema="exploded_cascade",
+                    seq_from=2, seq_to=3, force=True,
+                    batch_width=2, n_buckets=4, log_part_width=2)
+    after = sorted(
+        (r["doc_id"], tuple(r["tokens"] or []))
+        for r in LakehouseTable.load(spark, tbl).read().collect()
+    )
+    assert after == before
