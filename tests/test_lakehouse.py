@@ -265,3 +265,40 @@ def test_tier1_broadcast_cap_enforced(spark, tmp_path, monkeypatch):
         tuple(r) for r in t.read(tier=1).select("doc_id", "_commit_seq").collect()
     }
     assert got == expected
+
+
+def test_scan_raw_lww_fold_equals_read(spark, tmp_path):
+    """scan_raw returns the UNRESOLVED multiset (every stored version);
+    folding it through the same LWW rule must reproduce read() exactly —
+    the equivalence the resolve-free cascade lookup and any other
+    LWW-idempotent consumer lean on.  Checked with pending deltas
+    present (multiple versions per key across base/L1/L0), full table
+    and bucket-pruned."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+    from dlt_spark.sources.generator import generate_change_log
+
+    log = str(tmp_path / "log")
+    tbl = str(tmp_path / "tbl")
+    write_change_log(
+        generate_change_log(spark, 6_000, n_keys=400, seed=11),
+        log, part_width=1_000,
+    )
+    run_incremental(spark, log, tbl, batch_width=1_000, n_buckets=8,
+                    log_part_width=1_000)
+    t = LakehouseTable.load(spark, tbl)
+    assert t._snap["deltas"], "need pending L0 for a meaningful check"
+
+    def key(df):
+        return sorted(
+            (r["doc_id"], r["_commit_seq"], tuple(r["tokens"] or []))
+            for r in df.collect()
+        )
+
+    for buckets in (None, [1, 5]):
+        raw = t.scan_raw(buckets=buckets)
+        folded = t._resolve(raw).where("NOT _deleted")
+        assert key(folded) == key(t.read(buckets=buckets))
+    # raw really is a multiset: more rows than resolved keys
+    assert t.scan_raw().count() > t.read(include_deleted=True).count()
