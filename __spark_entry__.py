@@ -3,14 +3,17 @@
 queries() exposes one entry per implemented operator family from
 SURVEY.md §2 (CDC core: scans, range filters, watermark, lineage,
 LWW dedup, MERGE final state, replay guard, deterministic ids, payload
-normalization, explode-with-provenance, skew profile) plus the
-training-data pipeline ops (exact/MinHash/SimHash/Jaccard dedup,
-cosine top-k similarity, language-ID, quality scoring, token counting,
-fingerprinting).  Implementations live in dlt_spark/entry_queries.py;
-oracle_sql() returns the DuckDB-equivalent SQL for every query except
-those declared in entry_queries.NO_ORACLE (currently only the trained
-k-means IVF — float iteration order is not SQL-reproducible; the driver
-records its rows-only check and pytest asserts recall + determinism).
+normalization, explode-with-provenance, cascade deletes, schema
+evolution, skew profile) plus the training-data pipeline ops
+(exact/MinHash/SimHash/Jaccard dedup + connected-components
+canonicalization, cosine/LSH/IVF similarity search with trained and
+fully distributed k-means, benchmark-contamination check, PII scrub,
+sequence packing, language-ID, quality scoring, token counting,
+fingerprinting, multimodal plumbing).  Implementations live in
+dlt_spark/entry_queries.py; oracle_sql() returns the DuckDB-equivalent
+SQL for EVERY query — entry_queries.NO_ORACLE is empty since round 3:
+the k-means trainers are integer-exact (SQL-reproducible), and even the
+iterative connected-components query oracles via a fixed-round unroll.
 """
 
 from __future__ import annotations
