@@ -136,6 +136,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--table", required=True)
     c.add_argument("--master", default=None)
 
+    mt = sub.add_parser(
+        "maintain",
+        help="one-shot maintenance: compact, expire old snapshots, "
+             "vacuum orphans (the cron-able housekeeping tick)",
+    )
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--retain-last", type=int, default=2)
+    mt.add_argument("--grace-secs", type=float, default=3600.0)
+    mt.add_argument("--master", default=None)
+
     pt = sub.add_parser("purge", help="drop tombstones at/below a horizon")
     pt.add_argument("--table", required=True)
     pt.add_argument("--horizon-seq", type=int, required=True)
@@ -389,6 +399,23 @@ def main(argv: list[str] | None = None) -> int:
         v0 = t.version
         t.compact()
         print(json.dumps({"compacted": t.version > v0, "version": t.version}))
+        return 0
+
+    if args.cmd == "maintain":
+        from dlt_spark.lakehouse import LakehouseTable
+
+        t = LakehouseTable.load(spark, args.table)
+        v0 = t.version
+        t.compact()
+        expired = t.expire_snapshots(retain_last=args.retain_last)
+        removed = t.vacuum(grace_secs=args.grace_secs)
+        print(json.dumps({
+            "compacted": t.version > v0,
+            "version": t.version,
+            "snapshots_expired": expired.get("snapshots_expired", 0),
+            "files_reclaimed": expired.get("files_removed", 0),
+            "orphans_removed": removed,
+        }))
         return 0
 
     if args.cmd == "purge":

@@ -185,3 +185,23 @@ def test_event_log_lifecycle(tmp_path, monkeypatch):
     muted = str(tmp_path / "muted.jsonl")
     EventLog(muted, state_dir=state).sync_started("t", "d", None, None)
     assert not os.path.exists(muted)
+
+
+def test_cli_maintain(spark, tmp_path, capsys):
+    """`maintain` = compact + expire + vacuum in one cron-able tick."""
+    from dlt_spark.cli import main
+    from dlt_spark.lakehouse import LakehouseTable
+
+    log, tbl = str(tmp_path / "log"), str(tmp_path / "tbl")
+    write_change_log(generate_change_log(spark, 3_000, n_keys=400, seed=9),
+                     log, part_width=1_000)
+    run_incremental(spark, log, tbl, batch_width=500, n_buckets=8,
+                    log_part_width=1_000)
+    assert main(["maintain", "--table", tbl, "--retain-last", "1",
+                 "--grace-secs", "0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] is True
+    assert out["snapshots_expired"] >= 1
+    t = LakehouseTable.load(spark, tbl)
+    assert not t._snap["deltas"]          # L0 folded away
+    assert t.read().count() > 0           # still readable post-maintenance
