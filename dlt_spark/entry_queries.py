@@ -679,6 +679,50 @@ def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision — the composition a training-data
+    pipeline actually ships: exact-dedup (md5 keep-smallest-id) ∥
+    quality score ∥ language band ∥ length window, folded into one
+    keep/drop verdict per document with the reason flags exposed.  One
+    window over md5(text) (the dedup shuffle) + per-row Catalyst
+    features — no other exchange; every stage is the same expression
+    its standalone query uses, so this is plan-fusion of the whole
+    pipeline, not a driver-side loop over stages."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql("""
+      WITH base AS (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                 AS dup_rank
+        FROM documents),
+      f AS (
+        SELECT doc_id, dup_rank,
+               size(split(text, ' ')) AS n_words,
+               size(filter(split(text, ' '),
+                    w -> w IN ('the', 'and', 'of', 'a', 'to', 'in'))) AS n_stop,
+               length(replace(text, ' ', '')) AS n_lchars,
+               length(regexp_replace(text, '[^aeiou]', '')) AS v,
+               length(regexp_replace(text, '[^a-z]', '')) AS l
+        FROM base),
+      d AS (
+        SELECT doc_id,
+               dup_rank > 1 AS is_dup,
+               cast(n_words AS bigint) AS n_words,
+               round(1.0 / (1.0 + exp(-(0.01 * n_words
+                        + 2.0 * cast(n_stop AS double) / n_words
+                        - 0.1 * abs(cast(n_lchars AS double) / n_words - 5.0)))),
+                     5) AS score,
+               CASE WHEN cast(v AS double) / l >= 0.40 THEN 'vowel-heavy'
+                    WHEN cast(v AS double) / l >= 0.30 THEN 'en-like'
+                    ELSE 'consonantal' END AS pred_lang
+        FROM f WHERE n_words > 0 AND l > 0)
+      SELECT doc_id, is_dup, n_words, score, pred_lang,
+             (NOT is_dup AND score >= 0.5 AND pred_lang != 'consonantal'
+              AND n_words BETWEEN 5 AND 100000) AS keep
+      FROM d
+    """)
+
+
 def q_docs_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — the concat-then-chunk pretraining step: lay
     documents end to end in a deterministic order and cut fixed
@@ -1083,6 +1127,7 @@ QUERIES = {
     "docs_neardup_verified": q_docs_neardup_verified,
     "docs_dedup_clusters": q_docs_dedup_clusters,
     "docs_seq_packing": q_docs_seq_packing,
+    "docs_curation_pipeline": q_docs_curation_pipeline,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
     "emb_ann_ivf_topk": q_emb_ann_ivf_topk,
@@ -1746,6 +1791,38 @@ SELECT doc_id,
        cast(len(fps) AS bigint) AS n_fp,
        array_to_string(list_transform(fps[1:8], x -> cast(x AS varchar)), ',') AS fp_head
 FROM w
+"""
+
+_ORACLES["docs_curation_pipeline"] = """
+WITH base AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank
+  FROM documents),
+f AS (
+  SELECT doc_id, dup_rank,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+              w -> w IN ('the', 'and', 'of', 'a', 'to', 'in'))) AS n_stop,
+         length(replace(text, ' ', '')) AS n_lchars,
+         length(regexp_replace(text, '[^aeiou]', '', 'g')) AS v,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) AS l
+  FROM base),
+d AS (
+  SELECT doc_id,
+         dup_rank > 1 AS is_dup,
+         cast(n_words AS bigint) AS n_words,
+         round(1.0 / (1.0 + exp(-(0.01 * n_words
+                  + 2.0 * cast(n_stop AS double) / n_words
+                  - 0.1 * abs(cast(n_lchars AS double) / n_words - 5.0)))),
+               5) AS score,
+         CASE WHEN cast(v AS double) / l >= 0.40 THEN 'vowel-heavy'
+              WHEN cast(v AS double) / l >= 0.30 THEN 'en-like'
+              ELSE 'consonantal' END AS pred_lang
+  FROM f WHERE n_words > 0 AND l > 0)
+SELECT doc_id, is_dup, n_words, score, pred_lang,
+       (NOT is_dup AND score >= 0.5 AND pred_lang != 'consonantal'
+        AND n_words BETWEEN 5 AND 100000) AS keep
+FROM d
 """
 
 _ORACLES["docs_seq_packing"] = """
