@@ -427,7 +427,7 @@ def train_centroids_distributed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1024,
-    literal_cap: int = 100_000,
+    literal_cap: int = 1024,
 ) -> DataFrame:
     """FULLY DISTRIBUTED integer-exact k-means (VERDICT r2 missing-#3 /
     builder NEXT #5): for corpora whose hash-sample can't represent the
@@ -455,12 +455,22 @@ def train_centroids_distributed(
     training.  Overflow headroom: |q|≲scale, so even 10^10 rows sum to
     ~10^13 ≪ 2^63.
 
-    Above ``literal_cap`` ints of k·dim (plan-size sanity bound for the
-    Catalyst literal) assignment switches to an Arrow-vectorized pandas
-    UDF with the centroid matrix as a Spark BROADCAST variable — still
-    shuffle-free, still int64-exact (numpy int64 == Catalyst long
-    arithmetic), pytest-locked bit-identical to the literal path; this
-    is the k=4096-scale IVF shape."""
+    Above ``literal_cap`` ints of k·dim, assignment switches to an
+    Arrow-vectorized pandas UDF with the centroid matrix as a Spark
+    BROADCAST variable — still shuffle-free, still int64-exact (numpy
+    int64 == Catalyst long arithmetic), pytest-locked bit-identical to
+    the literal path.  The default cap is LOW (1024 ints ≈ k=16·dim=64)
+    because the literal path's nested higher-order functions evaluate
+    interpreted per element and scale O(k·dim) per row, while the Arrow
+    path is one numpy matmul per batch — measured on 100k×64 synthetic
+    vectors, 2 Lloyd iters, local[32] (bench/ivf_paths.py):
+
+        k=64:  literal 18.6 s  vs arrow 6.8 s
+        k=256: literal 49.8 s  vs arrow 3.1 s
+        k=512: literal 98.4 s  vs arrow 7.3 s
+
+    The literal stays the default only in the tiny-k regime (the entry
+    queries' k=8·dim=64=512), where avoiding Python workers wins."""
     spark = corpus.sparkSession
     q = corpus.select(
         F.md5(F.col(id_col).cast("string")).alias("_h"),
