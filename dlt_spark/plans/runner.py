@@ -164,19 +164,7 @@ def run_incremental(
             # and the batch pipelines.  The gap is bounded by the
             # in-flight window (≲ 2×max_inflight batch widths).
             wm = table.watermark()
-            gap = None
-            if wm + 1 <= lo - 1:
-                # Pre-filtering the gap to delete-parents (broadcast
-                # semi-join or literal isin before the explode) was
-                # A/B'd interleaved and LOST to the plain slice (median
-                # 13.2s vs 11.6s at the 100k-event cascade bench shape)
-                # — the extra stage outweighs the avoided explode while
-                # the gap is ≤ a few batch widths.  Keep the simple
-                # plan; at steady state (sync ticks) the gap is empty.
-                gap = adapter.normalize(
-                    slice_change_log(log_df, wm + 1, lo - 1, log_part_width),
-                    use_arrow_udf=use_arrow_udf,
-                )
+            gap = _gap_candidates(wm, batch_id, lo)
             normalized = adapter.expand_deletes(
                 normalized, table, del_rows=del_batches[batch_id],
                 uncovered=gap,
@@ -195,6 +183,69 @@ def run_incremental(
         )
         updates = dedup_lww(spread, with_counts=True)
         return table.prepare_delta(updates, job_id, batch_id)
+
+    def _gap_candidates(wm: int, batch_id: int, lo: int):
+        """Candidates covering the cascade gap (watermark, batch-start)
+        — children of batches still in flight.  OPPORTUNISTIC REUSE:
+        gap batches whose prepare future already finished contribute
+        their delta FILES (already normalized, exploded, deduped — no
+        log re-scan, no re-explode); only the still-running remainder
+        is re-normalized from the log.  Delta tombstone rows map to
+        op='D' and are dropped by the adapter's candidate filter like
+        any other delete; reusing a prepared-but-uncommitted delta is
+        safe because this batch COMMITS only after those batches do
+        (ordered commits), so its tombstones never outlive their
+        sources.  Pre-filtering the gap by delete-parents (semi-join
+        AND literal isin) was A/B'd and lost — don't re-add it."""
+        if wm + 1 > lo - 1:
+            return None
+        from pyspark.sql import functions as F
+
+        reused: list[str] = []
+        pend_ranges: list[tuple[int, int]] = []
+        for b in range((wm + 1) // batch_width, batch_id):
+            b_lo = max(wm + 1, b * batch_width)
+            b_hi = min(lo - 1, (b + 1) * batch_width - 1)
+            f = futs.get(b)
+            prep = None
+            if f is not None and f.done() and not f.cancelled():
+                try:
+                    prep = f.result()
+                except Exception:  # noqa: BLE001 — retried by its own path
+                    prep = None
+            if prep is not None:
+                reused.extend(table._abs(prep["files"]))
+            else:
+                if pend_ranges and pend_ranges[-1][1] + 1 == b_lo:
+                    pend_ranges[-1] = (pend_ranges[-1][0], b_hi)
+                else:
+                    pend_ranges.append((b_lo, b_hi))
+        parts = []
+        if reused:
+            d = spark.read.parquet(*reused)
+            parts.append(d.select(
+                "doc_id",
+                F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U"))
+                .alias("op"),
+                "kind", "array_index", "parent_doc_id",
+                F.col("_commit_seq").alias("commit_seq"),
+            ))
+        for g_lo, g_hi in pend_ranges:
+            parts.append(
+                adapter.normalize(
+                    slice_change_log(log_df, g_lo, g_hi, log_part_width),
+                    use_arrow_udf=use_arrow_udf,
+                ).select(
+                    "doc_id", "op", "kind", "array_index",
+                    "parent_doc_id", "commit_seq",
+                )
+            )
+        if not parts:
+            return None
+        gap = parts[0]
+        for p in parts[1:]:
+            gap = gap.unionByName(p)
+        return gap
 
     # Pipelined execution (the Spark analog of the reference's staged
     # collector→workers→sink pipeline, loader/service.go:82-97): delta
@@ -267,8 +318,13 @@ def run_incremental(
                 f"snapshot=v{m['snapshot_version']}"
             )
 
+    # futs is CLOSED OVER by _gap_candidates (running inside pool
+    # workers), so the dict must exist before the first submit — fill
+    # it incrementally, never via a comprehension assigned afterwards.
+    futs: dict = {}
     with ThreadPoolExecutor(max_workers=max(1, max_inflight)) as pool:
-        futs = {b: pool.submit(_prepare, b, lo, hi) for b, lo, hi in work}
+        for b, lo, hi in work:
+            futs[b] = pool.submit(_prepare, b, lo, hi)
         try:
             for i, (batch_id, lo, hi) in enumerate(work):
                 if fail_after_batches is not None and i >= fail_after_batches:

@@ -237,3 +237,47 @@ def test_cascade_forced_replay_is_idempotent(spark, tmp_path):
         for r in LakehouseTable.load(spark, tbl).read().collect()
     )
     assert after == before
+
+
+def test_cascade_bulk_pipeline_equals_serial_ticks(spark, tmp_path):
+    """Bulk pipelined replay (gap candidates from reused prepared
+    deltas and/or log re-normalize, whichever the race picked) must
+    converge to exactly the state of a strictly serial one-batch-per-
+    run replay of the same log — engine-vs-engine, deterministic, and
+    independent of which gap path each delete batch took."""
+    from pyspark.sql import functions as F
+
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+    from dlt_spark.sources.generator import generate_change_log
+
+    n = 4_000
+    ev = generate_change_log(spark, n, n_keys=300, seed=21,
+                             version_mix=(1.0, 0.0, 0.0))
+    exp = ev.withColumn(
+        "payload",
+        F.when(F.col("op") != "D", F.to_json(F.struct(
+            F.slice(F.col("tokens"), 1, 3).alias("block"),
+            F.array(F.slice(F.col("tokens"), 4, 4)).alias("txs"),
+        ))),
+    ).withColumn("tokens", F.lit(None).cast("array<int>"))
+    log = str(tmp_path / "log")
+    write_change_log(exp, log, part_width=500)
+
+    def state(tbl):
+        return sorted(
+            (r["doc_id"], r["_commit_seq"], tuple(r["tokens"] or []))
+            for r in LakehouseTable.load(spark, tbl).read().collect()
+        )
+
+    bulk = str(tmp_path / "bulk")
+    run_incremental(spark, log, bulk, schema="exploded_cascade",
+                    batch_width=500, n_buckets=8, log_part_width=500,
+                    max_inflight=4)
+    serial = str(tmp_path / "serial")
+    for b in range(8):
+        run_incremental(spark, log, serial, schema="exploded_cascade",
+                        seq_from=b * 500, seq_to=(b + 1) * 500 - 1,
+                        batch_width=500, n_buckets=8, log_part_width=500)
+    assert state(bulk) == state(serial)
