@@ -583,25 +583,38 @@ class LakehouseTable:
     def _l1(self) -> dict:
         return self._snap.get("l1", {})
 
-    def _pending(self, buckets=None) -> tuple[list[str], int | None]:
+    def _pending(
+        self, buckets=None, snap: dict | None = None
+    ) -> tuple[list[str], int | None]:
         """(files, rows) of L0+L1 not yet folded into base.  rows is None
-        when any entry predates row tracking (→ conservative tier 3)."""
+        when any entry predates row tracking (→ conservative tier 3).
+
+        ``snap`` lets callers pin ONE snapshot dict for the whole read:
+        read()/scan_raw() run in pool workers concurrent with the
+        runner thread swapping self._snap in commit_delta, and reading
+        buckets from one snapshot but l1/deltas from a newer one would
+        drop the rows a fold just moved L0/L1→base (torn view).  File
+        lists inside a captured snapshot are immutable — vacuum/expire
+        never run mid-job — so a single reference is race-free."""
+        if snap is None:
+            snap = self._snap
+        l1 = snap.get("l1", {})
         files: list[str] = []
         rows: int | None = 0
         if buckets is None:
-            l1_keys = list(self._l1)
+            l1_keys = list(l1)
         else:
             residues = {int(b) for b in buckets}
             l1_keys = [
-                k for k in self._l1 if _key_matches_residues(k, residues)
+                k for k in l1 if _key_matches_residues(k, residues)
             ]
         for k in l1_keys:
-            e = self._l1.get(k)
+            e = l1.get(k)
             if not e:
                 continue
             files.extend(e["files"])
             rows = None if (rows is None or e["rows"] is None) else rows + e["rows"]
-        for e in self._snap["deltas"]:
+        for e in snap["deltas"]:
             files.extend(e["files"])
             rows = None if (rows is None or e["rows"] is None) else rows + e["rows"]
         return files, rows
@@ -632,15 +645,16 @@ class LakehouseTable:
         arrays at all (~10× less I/O on this table's row shape).
         System columns needed by the resolve/tombstone filter are kept
         automatically."""
-        bm = self._snap["buckets"]
+        snap = self._snap  # pin ONE snapshot — see _pending docstring
+        bm = snap["buckets"]
         if buckets is None:
             keys = list(bm)
         else:
             residues = {int(b) for b in buckets}
             keys = [k for k in bm if _key_matches_residues(k, residues)]
         base_files = [p for k in keys for p in bm.get(k, [])]
-        pend_files, pend_rows = self._pending(buckets)
-        base_rows = self._snap.get("base_rows")
+        pend_files, pend_rows = self._pending(buckets, snap=snap)
+        base_rows = snap.get("base_rows")
 
         def _bucket_filter(df: DataFrame) -> DataFrame:
             if buckets is not None:
@@ -660,7 +674,7 @@ class LakehouseTable:
         # base entries written under an older (coarser) modulus contain
         # sibling residues too — filter them out; entries at the current
         # modulus are bucket-pure and skip the predicate entirely
-        mixed = any(_bkey_parse(k)[0] != self.n_buckets for k in keys)
+        mixed = any(_bkey_parse(k)[0] != snap["n_buckets"] for k in keys)
 
         def _base_filter(df: DataFrame) -> DataFrame:
             return _bucket_filter(df) if mixed else _project(df)
@@ -727,14 +741,15 @@ class LakehouseTable:
         forced-replay-newer children), so blanket-tombstoning every
         historical child key converges to exactly the resolved-lookup
         state while the lookup itself never exchanges a row."""
-        bm = self._snap["buckets"]
+        snap = self._snap  # pin ONE snapshot — see _pending docstring
+        bm = snap["buckets"]
         if buckets is None:
             keys = list(bm)
         else:
             residues = {int(b) for b in buckets}
             keys = [k for k in bm if _key_matches_residues(k, residues)]
         files = [p for k in keys for p in bm.get(k, [])]
-        pend_files, _ = self._pending(buckets)
+        pend_files, _ = self._pending(buckets, snap=snap)
         df = self._raw(self._abs(files + pend_files))
         if buckets is not None:
             # prunes sibling residues in coarser-modulus base entries

@@ -302,3 +302,59 @@ def test_scan_raw_lww_fold_equals_read(spark, tmp_path):
         assert key(folded) == key(t.read(buckets=buckets))
     # raw really is a multiset: more rows than resolved keys
     assert t.scan_raw().count() > t.read(include_deleted=True).count()
+
+
+def test_read_pins_one_snapshot_across_concurrent_fold(spark, tmp_path):
+    """ADVICE r3 (high): read()/scan_raw() used to dereference
+    self._snap several times (buckets, then l1/deltas via _pending);
+    a fold/compaction commit swapping the snapshot between those reads
+    produced a torn view — base files from the OLD snap, deltas from
+    the NEW (already-folded, empty) one — silently dropping every row
+    that had been pending.  Simulate exactly that interleaving with a
+    snapshot sequence that advances on every attribute access: the
+    pinned read must return the complete pre-fold state."""
+    path = str(tmp_path / "t")
+    t = LakehouseTable.create(spark, path, n_buckets=8)
+    t.merge(_updates(spark, 0, 499), "job", 0)
+    t.merge(_updates(spark, 500, 999), "job", 1)
+    stale = LakehouseTable.load(spark, path)
+    old_snap = stale._snap
+    assert old_snap["deltas"], "need pending L0 for the race to matter"
+    expected = sorted(
+        (r["doc_id"], r["_commit_seq"])
+        for r in stale.read().select("doc_id", "_commit_seq").collect()
+    )
+
+    folder = LakehouseTable.load(spark, path)
+    folder.compact()  # moves all pending → base, swaps the snapshot
+    new_snap = folder._snap
+    assert not new_snap["deltas"] and not new_snap.get("l1")
+
+    class TornSnap(LakehouseTable):
+        # property shadows the instance attribute: each access returns
+        # the next snapshot in the scripted sequence (old, then new —
+        # i.e. the fold lands right after the first dereference)
+        @property
+        def _snap(self):
+            i = min(self._snap_i, len(self._snap_seq) - 1)
+            self._snap_i += 1
+            return self._snap_seq[i]
+
+        @_snap.setter
+        def _snap(self, v):  # pragma: no cover - load() assigns it
+            pass
+
+    stale.__class__ = TornSnap
+    stale._snap_seq = [old_snap, new_snap]
+
+    for method in ("read", "scan_raw"):
+        stale._snap_i = 0
+        df = getattr(stale, method)()
+        if method == "scan_raw":
+            df = stale._resolve(df).where("NOT _deleted")
+        got = sorted(
+            (r["doc_id"], r["_commit_seq"])
+            for r in df.select("doc_id", "_commit_seq").collect()
+        )
+        assert got == expected, f"{method} tore across the fold"
+        assert stale._snap_i > 1, "sequence never advanced - test inert"
