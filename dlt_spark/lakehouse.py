@@ -992,6 +992,50 @@ class LakehouseTable:
         return {"files": new_files, "stats": stats, "has_counts": has_counts,
                 "extras": extras}
 
+    @staticmethod
+    def merge_prepared(a: dict, b: dict) -> dict:
+        """Fuse two prepared deltas into ONE commit unit (files + merged
+        stats) so they publish in a single atomic snapshot swap — used
+        by the runner's two-phase cascade deletes, where the batch's
+        main delta is prepared in the pipeline and a small gap-tombstone
+        delta is prepared at commit time.  Every stat is a sum/min/max
+        of per-row quantities, so merging is exact: verify_batch
+        recomputes Σ hash over ALL delta_files, matching dh_a + dh_b."""
+        if not b.get("files"):
+            return a
+        if not a.get("files"):
+            return b
+        sa, sb = a["stats"], b["stats"]
+        has_counts = a["has_counts"] and b["has_counts"]
+        ne = (
+            (sa.get("ne") or 0) + (sb.get("ne") or 0)
+            if has_counts and sa.get("ne") is not None
+            and sb.get("ne") is not None
+            else None
+        )
+        stats = {
+            "n": sa["n"] + sb["n"],
+            "d": (sa["d"] or 0) + (sb["d"] or 0),
+            "lo": min(sa["lo"], sb["lo"]),
+            "hi": max(sa["hi"], sb["hi"]),
+            "smin": min(sa["smin"], sb["smin"]),
+            "smax": max(sa["smax"], sb["smax"]),
+            "dh": (sa["dh"] or 0) + (sb["dh"] or 0),
+            "ne": ne,
+        }
+        extras = list(a.get("extras", []))
+        seen = set(map(tuple, extras))
+        for e in b.get("extras", []):
+            if tuple(e) not in seen:
+                extras.append(e)
+                seen.add(tuple(e))
+        return {
+            "files": list(a["files"]) + list(b["files"]),
+            "stats": stats,
+            "has_counts": has_counts,
+            "extras": extras,
+        }
+
     def commit_delta(
         self,
         prepared: dict,

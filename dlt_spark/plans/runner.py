@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
-from dlt_spark.adapters import get_adapter
+from dlt_spark.adapters import MASS_DELETE, get_adapter
 from dlt_spark.lakehouse import LakehouseTable
 from dlt_spark.operators.dedup import dedup_lww
 from dlt_spark.operators.salt import salted_repartition
@@ -152,22 +152,25 @@ def run_incremental(
     def _prepare_once(batch_id: int, lo: int, hi: int) -> dict:
         events = slice_change_log(log_df, lo, hi, log_part_width)
         normalized = adapter.normalize(events, use_arrow_udf=use_arrow_udf)
+        cascade_wm = None
         if batch_id in del_batches:
-            # Cascade lookup WITHOUT a barrier: capture the committed
-            # watermark FIRST (before the snapshot-backed scan inside
-            # expand_deletes — a commit landing in between only widens
-            # the overlap, never opens a gap), then hand the adapter the
-            # normalized log slice for (watermark, batch-start): the
-            # children of batches still in flight.  Blanket tombstones
-            # are LWW-idempotent (see adapter docstring), so stale table
-            # state + gap slice is exactly as correct as a barrier —
-            # and the batch pipelines.  The gap is bounded by the
-            # in-flight window (≲ 2×max_inflight batch widths).
-            wm = table.watermark()
-            gap = _gap_candidates(wm, batch_id, lo)
+            # TWO-PHASE cascade (VERDICT r3 next-#2): phase A (here, in
+            # the pipeline) covers the table snapshot + this batch's own
+            # children; the (watermark, batch-start) gap — children of
+            # batches still in flight — is NOT re-normalized here.
+            # Phase B (_gap_tombstones, at commit time) covers the gap
+            # from the already-prepared delta FILES of those batches,
+            # which are guaranteed finished once this batch commits
+            # (ordered commits) — so the gap work is a small projected
+            # parquet scan + join, never a second normalize/explode.
+            # Capture the committed watermark FIRST (before the
+            # snapshot-backed scan inside expand_deletes — a commit
+            # landing in between only widens the overlap, never opens a
+            # gap); blanket tombstones are LWW-idempotent, so the
+            # double-cover is free.
+            cascade_wm = table.watermark()
             normalized = adapter.expand_deletes(
                 normalized, table, del_rows=del_batches[batch_id],
-                uncovered=gap,
             )
         # Salting is OFF by default: the LWW dedup is a hash aggregate
         # with map-side partial aggregation, which already collapses a
@@ -182,21 +185,26 @@ def run_incremental(
             else normalized
         )
         updates = dedup_lww(spread, with_counts=True)
-        return table.prepare_delta(updates, job_id, batch_id)
+        prepared = table.prepare_delta(updates, job_id, batch_id)
+        if cascade_wm is not None:
+            prepared["_cascade_wm"] = cascade_wm
+        return prepared
 
-    def _gap_candidates(wm: int, batch_id: int, lo: int):
-        """Candidates covering the cascade gap (watermark, batch-start)
-        — children of batches still in flight.  OPPORTUNISTIC REUSE:
-        gap batches whose prepare future already finished contribute
-        their delta FILES (already normalized, exploded, deduped — no
-        log re-scan, no re-explode); only the still-running remainder
-        is re-normalized from the log.  Delta tombstone rows map to
-        op='D' and are dropped by the adapter's candidate filter like
-        any other delete; reusing a prepared-but-uncommitted delta is
-        safe because this batch COMMITS only after those batches do
-        (ordered commits), so its tombstones never outlive their
-        sources.  Pre-filtering the gap by delete-parents (semi-join
-        AND literal isin) was A/B'd and lost — don't re-add it."""
+    def _gap_tombstones(batch_id: int, lo: int, hi: int, wm: int):
+        """Phase B of the two-phase cascade delete, run at COMMIT time:
+        tombstones for children in the (wm, lo) gap — the batches that
+        were still in flight when phase A captured its table snapshot.
+        By commit time those batches have all prepared AND committed
+        (ordered commits), so their delta FILES are the candidate
+        source: already normalized, exploded and LWW-deduped — this job
+        is a projected parquet scan of ≲ max_inflight batches + one
+        join against the delete parents + one small delta write, never
+        a re-normalize.  (The r3 design re-normalized the gap inside
+        each pipelined prepare; with deletes in every batch that cost
+        2.46× plain ingest.)  The log-slice fallback below covers only
+        a range not prepared by this run (possible under force/overlap
+        replays).  Returns a prepared-delta dict to merge into the
+        batch's commit, or None when the gap is empty."""
         if wm + 1 > lo - 1:
             return None
         from pyspark.sql import functions as F
@@ -206,12 +214,14 @@ def run_incremental(
         for b in range((wm + 1) // batch_width, batch_id):
             b_lo = max(wm + 1, b * batch_width)
             b_hi = min(lo - 1, (b + 1) * batch_width - 1)
+            if b_hi < b_lo:
+                continue
             f = futs.get(b)
             prep = None
             if f is not None and f.done() and not f.cancelled():
                 try:
                     prep = f.result()
-                except Exception:  # noqa: BLE001 — retried by its own path
+                except Exception:  # noqa: BLE001 — its own path raised
                     prep = None
             if prep is not None:
                 reused.extend(table._abs(prep["files"]))
@@ -223,29 +233,63 @@ def run_incremental(
         parts = []
         if reused:
             d = spark.read.parquet(*reused)
-            parts.append(d.select(
-                "doc_id",
-                F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U"))
-                .alias("op"),
-                "kind", "array_index", "parent_doc_id",
-                F.col("_commit_seq").alias("commit_seq"),
-            ))
+            parts.append(
+                d.where(~F.col("_deleted")).select(
+                    "doc_id", "kind", "array_index", "parent_doc_id",
+                    F.col("_commit_seq").alias("child_seq"),
+                )
+            )
         for g_lo, g_hi in pend_ranges:
             parts.append(
                 adapter.normalize(
                     slice_change_log(log_df, g_lo, g_hi, log_part_width),
                     use_arrow_udf=use_arrow_udf,
-                ).select(
-                    "doc_id", "op", "kind", "array_index",
-                    "parent_doc_id", "commit_seq",
+                )
+                .where(F.col("op") != "D")
+                .select(
+                    "doc_id", "kind", "array_index", "parent_doc_id",
+                    F.col("commit_seq").alias("child_seq"),
                 )
             )
         if not parts:
             return None
-        gap = parts[0]
+        cand = parts[0]
         for p in parts[1:]:
-            gap = gap.unionByName(p)
-        return gap
+            cand = cand.unionByName(p)
+        # delete parents of THIS batch, straight from the raw log slice
+        # (parent deletes are parent-level rows — no normalize needed);
+        # broadcast only on the sparse (collected) path, a mass delete
+        # stays a shuffle join
+        dels = (
+            slice_change_log(log_df, lo, hi, log_part_width)
+            .where(F.col("op") == "D")
+            .select(
+                F.col("doc_id").alias("p"),
+                F.col("commit_seq").alias("del_seq"),
+                F.col("source").alias("del_source"),
+            )
+            .distinct()
+        )
+        if del_batches.get(batch_id) is not MASS_DELETE:
+            dels = F.broadcast(dels)
+        tombs = (
+            cand.join(dels, cand["parent_doc_id"] == dels["p"])
+            .where(F.col("child_seq") < F.col("del_seq"))
+            .select(
+                "doc_id",
+                F.lit("D").alias("op"),
+                F.lit(None).cast("array<int>").alias("tokens"),
+                F.lit(None).cast("int").alias("n_tok"),
+                F.col("del_source").alias("source"),
+                F.col("del_seq").alias("commit_seq"),
+                "kind",
+                "array_index",
+                "parent_doc_id",
+            )
+        )
+        return table.prepare_delta(
+            dedup_lww(tombs, with_counts=True), job_id, batch_id
+        )
 
     # Pipelined execution (the Spark analog of the reference's staged
     # collector→workers→sink pipeline, loader/service.go:82-97): delta
@@ -266,13 +310,17 @@ def run_incremental(
     # delete's (parent, seq, source) plus the parent's bucket residue —
     # a delete-batch's prepare then runs zero extra driver jobs (no
     # per-batch collect, no residue job); the candidate lookup is
-    # handed its pruning set.  Driver memory is O(distinct delete
-    # parents in the range), the same bound the per-batch lookups had
-    # in aggregate.  Delete batches no longer barrier AT ALL: blanket
-    # tombstones are LWW-idempotent, so the lookup reads stale table
-    # state + the normalized gap slice (see _prepare_once) and
-    # pipelines with everything else.
-    del_batches: dict[int, list] = {}
+    # handed its pruning set.  Driver memory is CAPPED (VERDICT r3
+    # wrong-#1): a per-batch count runs first, and any batch above
+    # ``mass_delete_parents`` distinct delete rows is marked
+    # MASS_DELETE instead of collected — its parent set then stays a
+    # DataFrame end to end (adapter + phase-B join), so a GDPR-style
+    # purge of millions of parents never materializes driver-side.
+    # Delete batches don't barrier: blanket tombstones are
+    # LWW-idempotent, so the lookup reads stale table state and the
+    # gap is settled by phase B at commit (see _gap_tombstones).
+    del_batches: dict[int, object] = {}
+    mass_delete_parents = getattr(adapter, "MAX_PRUNED_PARENTS", 65_536)
     if getattr(adapter, "cascade_deletes", False) and work:
         from pyspark.sql import functions as F
 
@@ -280,7 +328,7 @@ def run_incremental(
             log_df, min(w[1] for w in work), max(w[2] for w in work),
             log_part_width,
         )
-        rows = (
+        d = (
             rng.where(F.col("op") == "D")
             .select(
                 F.floor(F.col("commit_seq") / batch_width)
@@ -294,15 +342,28 @@ def run_incremental(
                 .alias("b"),
             )
             .distinct()
-            .collect()
         )
-        for r in rows:
-            del_batches.setdefault(int(r["bid"]), []).append(r)
+        counts = {
+            int(r["bid"]): r["c"]
+            for r in d.groupBy("bid").agg(F.count("*").alias("c")).collect()
+        }
+        small = [b for b, c in counts.items() if c <= mass_delete_parents]
+        for b, c in counts.items():
+            if c > mass_delete_parents:
+                del_batches[b] = MASS_DELETE
+        if small:
+            for r in d.where(F.col("bid").isin(small)).collect():
+                del_batches.setdefault(int(r["bid"]), []).append(r)
 
     from concurrent.futures import ThreadPoolExecutor
 
     def _commit_one(batch_id: int, lo: int, hi: int, prepared: dict) -> None:
         nonlocal applied, ev_read, ev_applied, dels
+        wm0 = prepared.pop("_cascade_wm", None)
+        if wm0 is not None:
+            supp = _gap_tombstones(batch_id, lo, hi, wm0)
+            if supp is not None:
+                prepared = LakehouseTable.merge_prepared(prepared, supp)
         m = table.commit_delta(
             prepared, job_id, batch_id, seq_from=lo, seq_to=hi, force=force
         )
@@ -318,9 +379,9 @@ def run_incremental(
                 f"snapshot=v{m['snapshot_version']}"
             )
 
-    # futs is CLOSED OVER by _gap_candidates (running inside pool
-    # workers), so the dict must exist before the first submit — fill
-    # it incrementally, never via a comprehension assigned afterwards.
+    # futs is CLOSED OVER by _gap_tombstones (phase B, run from the
+    # commit loop), so the dict must exist before the first submit —
+    # fill it incrementally, never via a comprehension assigned after.
     futs: dict = {}
     with ThreadPoolExecutor(max_workers=max(1, max_inflight)) as pool:
         for b, lo, hi in work:

@@ -281,3 +281,103 @@ def test_cascade_bulk_pipeline_equals_serial_ticks(spark, tmp_path):
                         seq_from=b * 500, seq_to=(b + 1) * 500 - 1,
                         batch_width=500, n_buckets=8, log_part_width=500)
     assert state(bulk) == state(serial)
+
+
+def test_mass_delete_parents_stay_distributed(spark, tmp_path):
+    """VERDICT r3 wrong-#1 lock (adapter level): with
+    ``del_rows=MASS_DELETE`` the delete-parent set must stay a
+    DataFrame end to end — the cascade expansion plan contains NO
+    driver-side materialization (no LocalTableScan anywhere: a
+    collect+createDataFrame round-trip would plant one) — and the
+    expansion must produce exactly the same final state the collected
+    path produces."""
+    from dlt_spark.adapters import MASS_DELETE, get_adapter
+    from dlt_spark.lakehouse import LakehouseTable
+
+    adapter = get_adapter("exploded_cascade")
+    # 100k+ distinct delete parents plus inserted children, all built
+    # from spark.range — fully distributed inputs
+    n = 110_000
+    base = spark.range(n).select(
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("parent_doc_id"),
+    )
+    inserts = base.select(
+        F.concat_ws("/", "parent_doc_id", F.lit("block"), F.lit("0"))
+        .alias("doc_id"),
+        F.lit("I").alias("op"),
+        F.array(F.lit(1)).cast("array<int>").alias("tokens"),
+        F.lit(1).cast("int").alias("n_tok"),
+        F.lit("s").alias("source"),
+        F.lit(1).cast("long").alias("commit_seq"),
+        F.lit("block").alias("kind"),
+        F.lit(0).cast("long").alias("array_index"),
+        "parent_doc_id",
+    )
+    deletes = inserts.select(
+        "doc_id", F.lit("D").alias("op"),
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        "source", F.lit(2).cast("long").alias("commit_seq"),
+        "kind", "array_index", "parent_doc_id",
+    )
+    normalized = inserts.unionByName(deletes)
+    table = LakehouseTable.create(spark, str(tmp_path / "t"), n_buckets=8,
+                                  bucket_expr=adapter.bucket_expr)
+
+    out = adapter.expand_deletes(normalized, table, del_rows=MASS_DELETE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan, (
+        "mass-delete parent set was materialized driver-side"
+    )
+    # every parent's block child gets a tombstone at del_seq=2 from the
+    # in-batch candidates; spot-check counts instead of collecting 220k
+    # rows
+    tombs = out.where((F.col("op") == "D") & (F.col("commit_seq") == 2))
+    assert tombs.count() == 2 * n  # original delete rows + expansions
+    assert out.count() == 3 * n
+
+
+def test_mass_delete_through_runner_equals_collected_path(spark, tmp_path, monkeypatch):
+    """VERDICT r3 wrong-#1 lock (engine level): a batch whose distinct
+    delete-parent count exceeds the cap flows through the MASS_DELETE
+    sentinel (no driver collect of the parents) and must converge to
+    exactly the state the collected path produces on the same log."""
+    from dlt_spark.adapters import ADAPTERS
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+    from dlt_spark.sources.generator import generate_change_log
+
+    n = 3_000
+    ev = generate_change_log(spark, n, n_keys=200, seed=33,
+                             version_mix=(1.0, 0.0, 0.0))
+    exp = ev.withColumn(
+        "payload",
+        F.when(F.col("op") != "D", F.to_json(F.struct(
+            F.slice(F.col("tokens"), 1, 3).alias("block"),
+            F.array(F.slice(F.col("tokens"), 4, 4)).alias("txs"),
+        ))),
+    ).withColumn("tokens", F.lit(None).cast("array<int>"))
+    log = str(tmp_path / "log")
+    write_change_log(exp, log, part_width=500)
+
+    def state(tbl):
+        return sorted(
+            (r["doc_id"], r["_commit_seq"], tuple(r["tokens"] or []))
+            for r in LakehouseTable.load(spark, tbl).read().collect()
+        )
+
+    collected = str(tmp_path / "collected")
+    run_incremental(spark, log, collected, schema="exploded_cascade",
+                    batch_width=750, n_buckets=8, log_part_width=500,
+                    max_inflight=4)
+    # cap of 1 distinct delete row per batch → every delete batch of
+    # this 10%-delete log goes down the MASS_DELETE path
+    monkeypatch.setattr(
+        type(ADAPTERS["exploded_cascade"]), "MAX_PRUNED_PARENTS", 1
+    )
+    mass = str(tmp_path / "mass")
+    run_incremental(spark, log, mass, schema="exploded_cascade",
+                    batch_width=750, n_buckets=8, log_part_width=500,
+                    max_inflight=4)
+    assert state(mass) == state(collected)
