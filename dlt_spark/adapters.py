@@ -166,9 +166,45 @@ class ExplodedAdapter:
     def expand_deletes(
         self, normalized: DataFrame, table, del_rows=None, uncovered=None
     ) -> DataFrame:
-        """Cascade expansion (runner hook, called between normalize and
-        dedup when ``cascade_deletes``): for each parent-delete event,
-        emit one tombstone per candidate child key at the delete's seq.
+        """Cascade expansion as ONE DataFrame (normalized ∪ tombstones)
+        — the serialized-epoch entry point (streaming sync; direct
+        adapter use).  The incremental runner does NOT use this: it
+        keeps the main batch at plain-ingest shape and routes the
+        tombstones through a separate slim delta (cascade_tombstones +
+        runner._cascade_delta) merged into the same atomic commit.
+
+        ``uncovered`` — optional normalized-shape rows covering a log
+        range the table/batch pair misses (legacy hook; the runner's
+        gap handling passes pre-shaped candidates instead)."""
+        if not self.cascade_deletes:
+            return normalized
+        # the batch feeds both the output union and the candidate
+        # subtree — materialize once, see cascade_tombstones
+        normalized = normalized.localCheckpoint(eager=True)
+        gap = None
+        if uncovered is not None:
+            gap = uncovered.where(F.col("op") != "D").select(
+                "doc_id", "kind", "array_index", "parent_doc_id",
+                F.col("commit_seq").alias("child_seq"),
+            )
+        tombs = self.cascade_tombstones(
+            normalized, table, del_rows=del_rows, gap_candidates=gap
+        )
+        if tombs is None:
+            return normalized
+        return normalized.unionByName(tombs)
+
+    def cascade_tombstones(
+        self,
+        normalized: DataFrame,
+        table,
+        del_rows=None,
+        gap_candidates: DataFrame | None = None,
+        with_counts: bool = False,
+    ) -> DataFrame | None:
+        """For each parent-delete event in ``normalized``, one tombstone
+        per candidate child key at the delete's seq; None when the
+        batch has no deletes (zero table I/O).
 
         Tombstones are LWW-IDEMPOTENT — one at del_seq only takes
         effect where it is the newest version of its key (re-deleting a
@@ -185,12 +221,18 @@ class ExplodedAdapter:
           ReadSchema);
         - the lookup does NOT need current table state, so delete
           batches PIPELINE like any other: candidates = table at
-          whatever watermark was committed when this prepare started,
-          plus ``uncovered`` — the runner's normalized log slice for
-          (watermark, batch-start), i.e. the children of batches still
-          in flight — plus this batch's own earlier children.  Overlap
-          between the three double-covers keys; duplicates collapse in
-          ``dropDuplicates``/LWW.
+          whatever watermark was committed when this call started,
+          plus ``gap_candidates`` — (doc_id, kind, array_index,
+          parent_doc_id, child_seq) rows covering batches still in
+          flight, supplied by the runner from their prepared delta
+          files — plus this batch's own children.  Overlap between the
+          three double-covers keys; duplicate tombstones settle at
+          read-resolve by (_commit_seq, D-rank, _row_id).
+
+        ``normalized`` is consumed by several subtrees (in-batch
+        candidates, derived parent set, and the caller's own use) —
+        callers should pass a materialized (localCheckpoint'ed)
+        DataFrame or the normalize re-executes per consumer.
 
         ``del_rows`` — (p, del_seq, del_source, b) rows prefetched by
         the runner's single range scan (residue b computed in the same
@@ -203,11 +245,13 @@ class ExplodedAdapter:
         the whole table (a purge of >64k parents touches most buckets
         anyway), and the candidate join is a plain shuffle join — no
         driver-side materialization at ANY parent cardinality (VERDICT
-        r3 wrong-#1).  A batch with NO deletes returns immediately with
-        zero table I/O.
+        r3 wrong-#1).
+
+        ``with_counts=True`` adds ``_n_events = 1`` so a slim tombstone
+        delta keeps exact events_read semantics without an LWW pass.
         """
         if not self.cascade_deletes:
-            return normalized
+            return None
         spark = normalized.sparkSession
         dels_df = None  # distributed parent set (mass-delete path)
         if del_rows is None or del_rows is MASS_DELETE:
@@ -234,7 +278,7 @@ class ExplodedAdapter:
         if dels_df is not None:
             dels = dels_df.select("p", "del_seq", "del_source")
         elif not del_rows:
-            return normalized  # delete-free batch: no lookup at all
+            return None  # delete-free batch: no lookup at all
         else:
             dels = F.broadcast(
                 spark.createDataFrame(
@@ -246,13 +290,8 @@ class ExplodedAdapter:
             "doc_id", "kind", "array_index", "parent_doc_id",
             F.col("commit_seq").alias("child_seq"),
         )
-        if uncovered is not None:
-            in_batch = in_batch.unionByName(
-                uncovered.where(F.col("op") != "D").select(
-                    "doc_id", "kind", "array_index", "parent_doc_id",
-                    F.col("commit_seq").alias("child_seq"),
-                )
-            )
+        if gap_candidates is not None:
+            in_batch = in_batch.unionByName(gap_candidates)
         buckets = None
         if dels_df is None and table.bucket_expr == self.bucket_expr:
             # collected (sparse) path: prune the table scan to the
@@ -275,7 +314,7 @@ class ExplodedAdapter:
             cand = in_table.unionByName(in_batch)
         else:
             cand = in_batch
-        tombs = (
+        return (
             cand.join(dels, cand["parent_doc_id"] == dels["p"])
             .where(F.col("child_seq") < F.col("del_seq"))
             .select(
@@ -288,17 +327,19 @@ class ExplodedAdapter:
                 "kind",
                 "array_index",
                 "parent_doc_id",
+                *([F.lit(1).cast("long").alias("_n_events")]
+                  if with_counts else []),
             )
-            # NO dropDuplicates here: the downstream LWW dedup collapses
-            # duplicate tombstones on the same doc_id shuffle (map-side
-            # partial) — a separate pre-shuffle was one whole extra
-            # stage per delete batch for nothing but metric cosmetics.
+            # NO dropDuplicates/dedup here: duplicate or rival
+            # tombstones for one key settle at read-resolve by
+            # (_commit_seq, D-rank, _row_id) exactly as a pre-shuffled
+            # winner would; a pre-shuffle was one whole extra stage per
+            # delete batch for nothing but metric cosmetics.
             # Consequence: a delete batch's _n_events counts candidate
             # multiplicity (every stored version / in-flight copy of a
             # child yields one synthetic tombstone row); final state is
             # unaffected (identical rows tie-break identically).
         )
-        return normalized.unionByName(tombs)
 
 
 ADAPTERS: dict[str, SchemaAdapter] = {
