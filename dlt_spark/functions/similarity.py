@@ -34,7 +34,12 @@ value-hash comparison needs.
 
 from __future__ import annotations
 
-import pandas as pd  # module-level so pandas-UDF type hints resolve
+try:  # soft dependency (ADVICE r3): pandas is only needed by the
+    # Arrow IVF assignment path; the module-level name must exist for
+    # postponed-annotation resolution of the pandas UDF's type hints
+    import pandas as pd
+except ImportError:  # pragma: no cover - baked into this environment
+    pd = None  # _assign_cells_arrow raises a clear error if reached
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -488,6 +493,7 @@ def train_centroids_distributed(
     cent = [list(c) for c in init]
     qv = q.select("q").persist()  # scanned n_iters times
     use_literal = k * dim <= literal_cap
+    b_cent = None  # per-iteration centroid broadcast (Arrow path)
     try:
         for _ in range(n_iters):
             if use_literal:
@@ -504,7 +510,12 @@ def train_centroids_distributed(
                 )
                 cell = F.array_position(dists, F.array_min(dists)) - 1
             else:
-                cell = _assign_cells_arrow(spark, cent)(F.col("q"))
+                import numpy as np
+
+                b_cent = spark.sparkContext.broadcast(
+                    np.asarray(cent, dtype=np.int64)
+                )
+                cell = _assign_cells_arrow(b_cent)(F.col("q"))
             assigned = qv.select("q", cell.alias("cell"))
             agg = assigned.groupBy("cell").agg(
                 F.count(F.lit(1)).alias("n"),
@@ -513,6 +524,13 @@ def train_centroids_distributed(
                     for i in range(dim)
                 ],
             ).collect()
+            if b_cent is not None:
+                # the iteration's only job has collected — free the
+                # executor copies NOW instead of accumulating one stale
+                # k×dim matrix per Lloyd pass until ContextCleaner GC
+                # (ADVICE r3)
+                b_cent.destroy()
+                b_cent = None
             by_cell = {int(r["cell"]): r for r in agg}
             cent = [
                 [int(by_cell[j][f"s{i}"]) // int(by_cell[j]["n"]) for i in range(dim)]
@@ -522,24 +540,32 @@ def train_centroids_distributed(
             ]
     finally:
         qv.unpersist()
+        if b_cent is not None:  # exception path
+            b_cent.destroy()
     return spark.createDataFrame(
         [(int(j), [float(v) for v in cent[j]]) for j in range(k)],
         f"{id_col} long, {vec_col} array<double>",
     )
 
-def _assign_cells_arrow(spark, cent: list[list[int]]):
+def _assign_cells_arrow(b_cent):
     """Nearest-cell assignment as an Arrow-vectorized pandas UDF for the
     large-k·dim regime where a Catalyst literal would bloat the plan:
-    the k×dim int64 centroid matrix ships ONCE per executor as a Spark
-    broadcast; each Arrow batch computes all its squared distances in
-    one numpy einsum-style pass and takes argmin (first-minimum = the
-    literal path's smallest-cell tie rule).  int64 throughout — the
-    result is bit-identical to the Catalyst-literal assignment
-    (pytest-locked), so both paths feed the same oracle."""
+    ``b_cent`` is the ALREADY-BROADCAST k×dim int64 centroid matrix —
+    the caller owns its lifecycle and destroys it once the iteration's
+    job has collected (ADVICE r3: a fresh, never-destroyed broadcast
+    per Lloyd pass accumulated executor memory until GC).  Each Arrow
+    batch computes all its squared distances in one numpy einsum-style
+    pass and takes argmin (first-minimum = the literal path's
+    smallest-cell tie rule).  int64 throughout — the result is
+    bit-identical to the Catalyst-literal assignment (pytest-locked),
+    so both paths feed the same oracle."""
+    if pd is None:  # pragma: no cover - see module import
+        raise ImportError(
+            "the Arrow IVF assignment path requires pandas; "
+            "install it or stay under literal_cap"
+        )
     import numpy as np
     from pyspark.sql.functions import pandas_udf
-
-    b_cent = spark.sparkContext.broadcast(np.asarray(cent, dtype=np.int64))
 
     @pandas_udf("long")
     def assign(qs: pd.Series) -> pd.Series:

@@ -153,3 +153,34 @@ def test_dedup_clusters_long_chain_single_cluster(spark, tmp_path):
     a = got.sort_values("doc_id").reset_index(drop=True)
     b = oracle.sort_values("doc_id").reset_index(drop=True)[a.columns]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_seq_packing_sharded_refines_global_and_has_no_global_sort(spark):
+    """VERDICT r3 next-#4 lock: (a) the sharded packing plan contains
+    no single-partition global Sort — every Sort in the physical plan
+    sits above a hash-partitioned exchange on the shard key; (b) each
+    shard's offsets are exactly the global form's cumsum restricted to
+    that shard's documents in the same doc_id order
+    (permutation-consistent refinement)."""
+    import __spark_entry__ as e
+
+    sharded = e.queries()["docs_seq_packing_sharded"](spark, SF_DIR)
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    # a global window materializes as Exchange SinglePartition + Sort
+    assert "SinglePartition" not in plan, plan
+
+    got = sharded.toPandas().sort_values("doc_id").reset_index(drop=True)
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars").toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    docs["shard"] = docs["doc_id"] % 16
+    docs["shard_offset"] = (
+        docs.groupby("shard")["n_chars"].cumsum() - docs["n_chars"]
+    )
+    merged = got.merge(docs, on="doc_id", suffixes=("", "_ref"))
+    assert len(merged) == len(docs)
+    assert (merged["shard"] == merged["shard_ref"]).all()
+    assert (merged["shard_offset"] == merged["shard_offset_ref"]).all()
+    assert (merged["pack_start"] == merged["shard_offset_ref"] // 512).all()
