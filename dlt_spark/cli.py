@@ -94,6 +94,26 @@ def main(argv: list[str] | None = None) -> int:
                    help="write Prometheus textfile-collector metrics here "
                         "after each round (utils/prometheus.go analog)")
 
+    sd = sub.add_parser(
+        "sync-daemon",
+        help="ONE process, EVERY configured connection on its own "
+             "interval/cron schedule with a global single-flight guard "
+             "(the reference's gocron scheduler, "
+             "cmd/dlt/commands/sync.go:91-148)",
+    )
+    sd.add_argument("--config", required=True)
+    sd.add_argument("--connection", action="append", default=[],
+                    help="restrict to these connection names (repeatable; "
+                         "default: all)")
+    sd.add_argument("--max-rounds", type=int, default=0,
+                    help="stop after each connection ran this many times "
+                         "(0 = forever)")
+    sd.add_argument("--metrics-dir", default=None,
+                    help="write one textfile-collector .prom per "
+                         "connection here")
+    sd.add_argument("--events-file", default=None)
+    sd.add_argument("--master", default=None)
+
     st = sub.add_parser("status", help="show watermark + manifests")
     st.add_argument("--table", required=True)
     st.add_argument("--at-version", type=int, default=None,
@@ -274,6 +294,45 @@ def main(argv: list[str] | None = None) -> int:
             "wall_secs": round(res.wall_secs, 3),
             "events_per_sec": round(res.events_per_sec, 1),
         }))
+        return 0
+
+    if args.cmd == "sync-daemon":
+        import signal
+
+        from dlt_spark.config import load_config
+        from dlt_spark.scheduler import run_sync_daemon
+
+        stop = {"n": 0}
+
+        def _sig(_s, _f):
+            stop["n"] += 1
+            if stop["n"] >= 2:
+                print(json.dumps({"shutdown": "forced"}), flush=True)
+                raise KeyboardInterrupt
+            print(json.dumps({"shutdown": "graceful-after-batch"}), flush=True)
+
+        signal.signal(signal.SIGINT, _sig)
+        signal.signal(signal.SIGTERM, _sig)
+
+        def _print_round(name, res):
+            print(json.dumps({
+                "connection": name,
+                "batches_applied": res.batches_applied,
+                "events_read": res.events_read,
+                "events_per_sec": round(res.events_per_sec, 1),
+            }), flush=True)
+
+        summary = run_sync_daemon(
+            spark, load_config(args.config),
+            connection_names=args.connection or None,
+            stop_requested=lambda: stop["n"] > 0,
+            max_runs_per_connection=args.max_rounds,
+            events_file=args.events_file,
+            metrics_dir=args.metrics_dir,
+            on_round=_print_round,
+        )
+        print(json.dumps({"shutdown": "clean", "connections": summary}),
+              flush=True)
         return 0
 
     if args.cmd == "sync":

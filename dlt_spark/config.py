@@ -54,6 +54,12 @@ class ConnectionCfg:
     batch_width: int = 1_000_000
     max_inflight: int = 3
     use_arrow_udf: bool = False
+    # per-connection schedule for the multi-connection daemon
+    # (scheduler.run_sync_daemon — the reference's per-connection cron,
+    # cmd/dlt/commands/sync.go:91-148): a 5-field cron expression wins
+    # over the polling interval when set
+    interval_secs: float = 5.0
+    cron: str | None = None
 
 
 @dataclass
