@@ -50,7 +50,11 @@ def main() -> int:
     from dlt_spark.sources.changelog import write_change_log
     from dlt_spark.sources.generator import generate_change_log
 
-    spark = get_spark("dlt-bench", master=f"local[{cpus}]")
+    batch_width = max(1, n_events // batch_count)
+    # heap sized by the batch-width rule (session.driver_memory_for);
+    # at the 8-batch driver shape this stays the measured-best 8g
+    spark = get_spark("dlt-bench", master=f"local[{cpus}]",
+                      batch_width=batch_width)
     spark.sparkContext.setLogLevel("ERROR")
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -58,7 +62,6 @@ def main() -> int:
     log_path = os.path.join(work, "log")
     tbl_path = os.path.join(work, "tbl")
     part_width = max(10_000, n_events // 32)
-    batch_width = max(1, n_events // batch_count)
 
     # --- input prep (not timed) ---
     events = generate_change_log(

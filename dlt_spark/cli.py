@@ -246,7 +246,10 @@ def main(argv: list[str] | None = None) -> int:
 
     from dlt_spark.session import get_spark
 
-    spark = get_spark(f"dlt-{args.cmd}", master=args.master)
+    spark = get_spark(
+        f"dlt-{args.cmd}", master=args.master,
+        batch_width=getattr(args, "batch_width", None),
+    )
 
     for attr in ("log", "table", "out"):
         val = getattr(args, attr, None)

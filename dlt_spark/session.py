@@ -76,21 +76,50 @@ def _default_local_dir() -> str | None:
     return None
 
 
+def driver_memory_for(batch_width: int) -> str:
+    """Batch-width-aware local heap rule (VERDICT r3 next-#8) — the two
+    measured anchors from the amortization curve (BENCH/BASELINE.md):
+
+    - ≤ ~400k events/batch (the 8-batch driver bench shape): 8 GB and
+      24 GB are indistinguishable inside noise, and 8 GB beats larger
+      heaps slightly (page-cache locality) → stay at 8 GB;
+    - 787k events/batch: 8 GB is GC-bound (GCLocker retry warnings,
+      269k ev/s) while 24 GB reaches 410k ev/s → scale linearly with
+      the batch working set above the knee, ~24 GB per 787k-event
+      batch, capped at 48 GB (the box has 128; leave room for the page
+      cache that the 8-vs-20 GB measurement showed matters).
+
+    On a real cluster executor memory is sized per node as usual and
+    this helper is irrelevant; locally it removes the hand-set
+    SPARK_GRAFT_DRIVER_MEM at the big-batch operating point (that env
+    var still wins when set)."""
+    if batch_width <= 400_000:
+        return "8g"
+    gb = min(48, max(8, -(-24 * batch_width // 787_000)))
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = "dlt_spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    batch_width: int | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox;
     on a cluster, leave it unset and let spark-submit decide.
+    ``batch_width`` (events per ingest batch, when the caller knows it)
+    sizes the local driver heap via ``driver_memory_for`` unless
+    SPARK_GRAFT_DRIVER_MEM explicitly overrides.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_BASE_CONF)
+    if batch_width is not None and "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
+        conf["spark.driver.memory"] = driver_memory_for(batch_width)
     local_dir = _default_local_dir()
     if local_dir:
         conf["spark.local.dir"] = local_dir
