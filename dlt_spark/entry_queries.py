@@ -682,12 +682,23 @@ def q_docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + 2.0 * cast(n_stop AS double) / n_words
                         - 0.1 * abs(cast(n_lchars AS double) / n_words - 5.0)))),
                      5) AS score,
+               -- keep-threshold in EXACT integer arithmetic (VERDICT r3
+               -- next-#9): score >= 0.5 iff the logit >= 0; multiplying
+               -- the logit by the positive 100*n_words clears every
+               -- denominator, so the comparison is pure int64 on both
+               -- engines and the float boundary risk is retired:
+               --   w^2 + 200*n_stop - 10*|n_lchars - 5*w| >= 0
+               -- (bigint throughout: size() is int32 and w^2 overflows
+               -- it past ~46k words; the n_words cap is 100k)
+               (cast(n_words AS bigint) * n_words + 200 * cast(n_stop AS bigint)
+                - 10 * abs(cast(n_lchars AS bigint) - 5 * n_words) >= 0)
+                 AS score_ok,
                CASE WHEN cast(v AS double) / l >= 0.40 THEN 'vowel-heavy'
                     WHEN cast(v AS double) / l >= 0.30 THEN 'en-like'
                     ELSE 'consonantal' END AS pred_lang
         FROM f WHERE n_words > 0 AND l > 0)
       SELECT doc_id, is_dup, n_words, score, pred_lang,
-             (NOT is_dup AND score >= 0.5 AND pred_lang != 'consonantal'
+             (NOT is_dup AND score_ok AND pred_lang != 'consonantal'
               AND n_words BETWEEN 5 AND 100000) AS keep
       FROM d
     """)
@@ -1835,12 +1846,17 @@ d AS (
                   + 2.0 * cast(n_stop AS double) / n_words
                   - 0.1 * abs(cast(n_lchars AS double) / n_words - 5.0)))),
                5) AS score,
+         -- exact integer threshold: score >= 0.5 iff logit >= 0 iff
+         -- w^2 + 200*n_stop - 10*|n_lchars - 5w| >= 0 (see the Spark
+         -- twin; retires the float-boundary risk class)
+         (n_words * n_words + 200 * n_stop
+          - 10 * abs(n_lchars - 5 * n_words) >= 0) AS score_ok,
          CASE WHEN cast(v AS double) / l >= 0.40 THEN 'vowel-heavy'
               WHEN cast(v AS double) / l >= 0.30 THEN 'en-like'
               ELSE 'consonantal' END AS pred_lang
   FROM f WHERE n_words > 0 AND l > 0)
 SELECT doc_id, is_dup, n_words, score, pred_lang,
-       (NOT is_dup AND score >= 0.5 AND pred_lang != 'consonantal'
+       (NOT is_dup AND score_ok AND pred_lang != 'consonantal'
         AND n_words BETWEEN 5 AND 100000) AS keep
 FROM d
 """
