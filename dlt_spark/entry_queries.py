@@ -891,6 +891,45 @@ def q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a_id", "b_id", F.round("sim", 5).alias("sim_r"))
 
 
+def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profiling — the first thing a pretraining-data run
+    reports: documents bucketed by power-of-2 length with per-bucket
+    count/char mass/extremes and a whitespace-token estimate.  The
+    bucket id is length(bin(n_chars)) = floor(log2)+1 computed on the
+    INTEGER binary representation, so no float log enters the bucket
+    boundary on either engine.  One map-side-combined hash aggregate;
+    at 100 TB this is a single scan + k≈30-row result."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql("""
+      SELECT length(bin(n_chars)) AS len_bucket,
+             cast(count(*) AS bigint) AS n_docs,
+             cast(sum(n_chars) AS bigint) AS total_chars,
+             cast(min(n_chars) AS bigint) AS min_chars,
+             cast(max(n_chars) AS bigint) AS max_chars,
+             cast(sum(size(split(text, ' ')) ) AS bigint) AS total_words
+      FROM documents WHERE n_chars > 0
+      GROUP BY length(bin(n_chars))
+    """)
+
+
+def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate clusters: cosine near-dup pairs (LSH
+    buckets, exact cosine verified per pair) fed through the same
+    alternating-star connected-components operator the text pipeline
+    uses — the canonicalization step for semantic dedup (keep one
+    representative per cluster of near-identical embeddings).  Same
+    fixpoint guarantees as docs_dedup_clusters: correct at any cluster
+    diameter, loud failure if unconverged; oracle is the recursive-CTE
+    reachability fixpoint over the same pair SQL."""
+    pairs = q_emb_neardup_pairs(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(pairs, src="a_id", dst="b_id")
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column → mapInPandas feature
     extraction over Arrow batches (decode kernel stubbed — byte-level
@@ -1143,6 +1182,7 @@ QUERIES = {
     "docs_dedup_clusters": q_docs_dedup_clusters,
     "docs_seq_packing": q_docs_seq_packing,
     "docs_seq_packing_sharded": q_docs_seq_packing_sharded,
+    "docs_length_histogram": q_docs_length_histogram,
     "docs_curation_pipeline": q_docs_curation_pipeline,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
@@ -1150,6 +1190,7 @@ QUERIES = {
     "emb_ann_ivf_trained": q_emb_ann_ivf_trained,
     "emb_ann_ivf_distributed": q_emb_ann_ivf_distributed,
     "emb_neardup_pairs": q_emb_neardup_pairs,
+    "emb_dedup_clusters": q_emb_dedup_clusters,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
@@ -1725,6 +1766,24 @@ SELECT a_id, b_id, round(sim, 5) AS sim_r
 FROM pairs WHERE sim >= 0.3
 """
 
+# same recursive-CTE fixpoint idiom as docs_dedup_clusters, over the
+# embedding near-dup pair SQL (threshold column dropped — clustering
+# needs only the pair list)
+_ORACLES["emb_dedup_clusters"] = f"""
+WITH RECURSIVE verified AS MATERIALIZED ({_ORACLES["emb_neardup_pairs"]}),
+p AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM verified
+      UNION ALL
+      SELECT b_id AS u, a_id AS v FROM verified),
+reach(node, label) AS (
+  SELECT DISTINCT u, u FROM p
+  UNION
+  SELECT p.u, r.label FROM p JOIN reach r ON r.node = p.v
+)
+SELECT node AS vec_id, min(label) AS cluster_id,
+       node = min(label) AS is_canonical
+FROM reach GROUP BY node
+"""
+
 # byte features: documents text is ASCII by construction → utf-8 bytes
 # == characters, so the mapInPandas stub is reproducible in SQL.
 _ORACLES["multimodal_features"] = """
@@ -1887,6 +1946,17 @@ SELECT doc_id,
        cast(floor(coalesce(off0, 0) / 512) AS bigint) AS pack_start,
        cast(floor((coalesce(off0, 0) + n_chars - 1) / 512) AS bigint) AS pack_end
 FROM c
+"""
+
+_ORACLES["docs_length_histogram"] = """
+SELECT length(bin(n_chars)) AS len_bucket,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(n_chars) AS bigint) AS total_chars,
+       cast(min(n_chars) AS bigint) AS min_chars,
+       cast(max(n_chars) AS bigint) AS max_chars,
+       cast(sum(len(string_split(text, ' '))) AS bigint) AS total_words
+FROM documents WHERE n_chars > 0
+GROUP BY length(bin(n_chars))
 """
 
 _ORACLES["docs_fingerprint"] = """
