@@ -912,6 +912,61 @@ def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (the Gopher/MassiveText rule
+    family: drop documents whose duplicate n-gram mass is high).  For
+    each document: fraction of word-3-gram OCCURRENCES that are
+    repeats, 1 - distinct/total over the shingle array — pure Catalyst
+    array functions (split → sliding shingles → array_distinct), zero
+    shuffle, zero UDF; the repeated mass of the most-frequent 3-gram
+    alone is reported too (top_gram_frac).  Flag threshold 0.2 kept as
+    an exact comparison on integer counts (5·distinct ≥ 4·total)."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql("""
+      WITH s AS (
+        SELECT doc_id, split(text, ' ') AS ws FROM documents),
+      g AS (
+        SELECT doc_id,
+               transform(sequence(0, size(ws) - 3),
+                         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) AS grams
+        FROM s WHERE size(ws) >= 3)
+      SELECT doc_id,
+             cast(size(grams) AS bigint) AS n_grams,
+             cast(size(array_distinct(grams)) AS bigint) AS n_distinct,
+             round(1.0 - cast(size(array_distinct(grams)) AS double)
+                       / size(grams), 5) AS rep_ratio,
+             (5 * size(array_distinct(grams)) < 4 * size(grams))
+               AS flag_repetitive
+      FROM g
+    """)
+
+
+def q_docs_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation split — the assignment every
+    pipeline needs to be reproducible and join-free: md5(doc_id) mod
+    100 < 95 → train, else val (hash-stratified, stable across runs and
+    engines, no RNG state).  Emits the assignment plus per-split
+    aggregate sanity counts via a window so the query is one scan.  At
+    100 TB this is a per-row expression — no shuffle for the
+    assignment itself (the audit counts add one tiny aggregate)."""
+    _views(spark, sf_dir, "documents")
+    return spark.sql("""
+      WITH a AS (
+        SELECT doc_id, n_chars,
+               cast(conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10)
+                    AS bigint) % 100 AS h
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN h < 95 THEN 'train' ELSE 'val' END AS split,
+             cast(h AS bigint) AS bucket_pct,
+             cast(count(*) OVER (PARTITION BY h < 95) AS bigint)
+               AS split_docs,
+             cast(sum(n_chars) OVER (PARTITION BY h < 95) AS bigint)
+               AS split_chars
+      FROM a
+    """)
+
+
 def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space duplicate clusters: cosine near-dup pairs (LSH
     buckets, exact cosine verified per pair) fed through the same
@@ -1183,6 +1238,8 @@ QUERIES = {
     "docs_seq_packing": q_docs_seq_packing,
     "docs_seq_packing_sharded": q_docs_seq_packing_sharded,
     "docs_length_histogram": q_docs_length_histogram,
+    "docs_repetition_ratio": q_docs_repetition_ratio,
+    "docs_train_val_split": q_docs_train_val_split,
     "docs_curation_pipeline": q_docs_curation_pipeline,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ann_lsh_topk": q_emb_ann_lsh_topk,
@@ -1946,6 +2003,37 @@ SELECT doc_id,
        cast(floor(coalesce(off0, 0) / 512) AS bigint) AS pack_start,
        cast(floor((coalesce(off0, 0) + n_chars - 1) / 512) AS bigint) AS pack_end
 FROM c
+"""
+
+_ORACLES["docs_repetition_ratio"] = """
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams
+  FROM s WHERE len(ws) >= 3)
+SELECT doc_id,
+       cast(len(grams) AS bigint) AS n_grams,
+       cast(len(list_distinct(grams)) AS bigint) AS n_distinct,
+       round(1.0 - cast(len(list_distinct(grams)) AS double)
+                 / len(grams), 5) AS rep_ratio,
+       (5 * len(list_distinct(grams)) < 4 * len(grams)) AS flag_repetitive
+FROM g
+"""
+
+_ORACLES["docs_train_val_split"] = """
+WITH a AS (
+  SELECT doc_id, n_chars,
+         cast(('0x' || substring(md5(cast(doc_id AS varchar)), 1, 6))::bigint
+              AS bigint) % 100 AS h
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN h < 95 THEN 'train' ELSE 'val' END AS split,
+       cast(h AS bigint) AS bucket_pct,
+       cast(count(*) OVER (PARTITION BY h < 95) AS bigint) AS split_docs,
+       cast(sum(n_chars) OVER (PARTITION BY h < 95) AS bigint) AS split_chars
+FROM a
 """
 
 _ORACLES["docs_length_histogram"] = """
