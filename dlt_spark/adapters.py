@@ -164,7 +164,8 @@ class ExplodedAdapter:
 
 
     def expand_deletes(
-        self, normalized: DataFrame, table, del_rows=None, uncovered=None
+        self, normalized: DataFrame, table, del_rows=None, uncovered=None,
+        materialize: bool = False,
     ) -> DataFrame:
         """Cascade expansion as ONE DataFrame (normalized ∪ tombstones)
         — the serialized-epoch entry point (streaming sync; direct
@@ -178,9 +179,18 @@ class ExplodedAdapter:
         gap handling passes pre-shaped candidates instead)."""
         if not self.cascade_deletes:
             return normalized
-        # the batch feeds both the output union and the candidate
-        # subtree — materialize once, see cascade_tombstones
-        normalized = normalized.localCheckpoint(eager=True)
+        # The batch feeds both the output union and the candidate
+        # subtree.  ``materialize`` trades one eager localCheckpoint
+        # job against evaluating the normalize twice inside the write
+        # job: A/B'd per shape (tick harness, medians of 3) — with
+        # CONCURRENT prepares (runner catch-up, gap non-empty) the
+        # double normalize competes for saturated cores and the
+        # checkpoint wins (bulk 14.0 vs 15.5 s); solo (steady ticks,
+        # serialized streaming epochs) the recompute parallelizes into
+        # idle cores while the extra job serializes — skip it
+        # (ticks 20.0 vs 22.4 s).  The runner passes gap-nonempty.
+        if materialize:
+            normalized = normalized.localCheckpoint(eager=True)
         gap = None
         if uncovered is not None:
             gap = uncovered.where(F.col("op") != "D").select(

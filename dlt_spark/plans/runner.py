@@ -176,6 +176,9 @@ def run_incremental(
             wm0 = table.watermark()
             normalized = adapter.expand_deletes(
                 normalized, table, del_rows=del_batches[batch_id],
+                # concurrent-prepare shape iff the gap is non-empty —
+                # the materialization A/B in expand_deletes
+                materialize=wm0 + 1 <= lo - 1,
             )
             cascade_ctx = (wm0,)
         # Salting is OFF by default: the LWW dedup is a hash aggregate
