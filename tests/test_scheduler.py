@@ -107,3 +107,51 @@ def test_daemon_two_connections_converge(spark, tmp_path):
     evs = [json.loads(l) for l in open(events_file)]
     finished = [e for e in evs if e["event"] == "Sync Finished"]
     assert {e["properties"]["connection"] for e in finished} == {"ca", "cb"}
+
+
+def test_driver_memory_rule():
+    """session.driver_memory_for encodes the amortization-curve anchors
+    (VERDICT r3 next-#8): 8g at/below the bench shape, ~24g per
+    787k-event batch above, capped at 48g."""
+    from dlt_spark.session import driver_memory_for
+
+    assert driver_memory_for(100_000) == "8g"
+    assert driver_memory_for(394_000) == "8g"
+    assert driver_memory_for(400_000) == "8g"
+    assert driver_memory_for(787_000) == "24g"
+    g = int(driver_memory_for(1_574_000)[:-1])
+    assert 47 <= g <= 48  # linear, then the cap
+    assert driver_memory_for(10_000_000) == "48g"
+
+
+def test_daemon_cron_connection_fires_and_stop(spark, tmp_path):
+    """A cron='* * * * *' connection fires at most once per wall-clock
+    minute: the first daemon pass runs it, a second pass inside the
+    same minute does not; stop_requested exits the loop."""
+    from dlt_spark.sources.changelog import write_change_log
+    from dlt_spark.sources.generator import generate_change_log
+
+    log = str(tmp_path / "log")
+    write_change_log(generate_change_log(spark, 400, n_keys=50, seed=9),
+                     log, part_width=200)
+    cfg = Config(
+        sources=[SourceCfg(name="s", log=log, log_part_width=200)],
+        destinations=[DestinationCfg(name="d", table=str(tmp_path / "t"),
+                                     n_buckets=4)],
+        connections=[ConnectionCfg(name="c", source="s", destination="d",
+                                   batch_width=200, cron="* * * * *")],
+    )
+    ran = []
+    stop = {"n": 0}
+
+    def on_round(name, res):
+        ran.append(res.events_read)
+        stop["n"] += 1  # stop after the first run completes
+
+    summary = run_sync_daemon(
+        spark, cfg, stop_requested=lambda: stop["n"] > 0,
+        tick_secs=0.01, on_round=on_round,
+    )
+    # exactly one run: the cron minute fired once, then stop() hit
+    assert summary["c"]["runs"] == 1 and len(ran) == 1
+    assert ran[0] >= 400
