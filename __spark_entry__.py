@@ -6,14 +6,18 @@ LWW dedup, MERGE final state, replay guard, deterministic ids, payload
 normalization, explode-with-provenance, cascade deletes, schema
 evolution, skew profile) plus the training-data pipeline ops
 (exact/MinHash/SimHash/Jaccard dedup + connected-components
-canonicalization, cosine/LSH/IVF similarity search with trained and
-fully distributed k-means, benchmark-contamination check, PII scrub,
-sequence packing, language-ID, quality scoring, token counting,
+canonicalization over documents AND embeddings, cosine/LSH/IVF
+similarity search with trained and fully distributed k-means,
+benchmark-contamination check, PII scrub, global + sharded sequence
+packing, language-ID, quality scoring, token counting, repetition
+ratio, length histogram, deterministic train/val split,
 fingerprinting, multimodal plumbing).  Implementations live in
 dlt_spark/entry_queries.py; oracle_sql() returns the DuckDB-equivalent
 SQL for EVERY query — entry_queries.NO_ORACLE is empty since round 3:
-the k-means trainers are integer-exact (SQL-reproducible), and even the
-iterative connected-components query oracles via a fixed-round unroll.
+the k-means trainers are integer-exact (SQL-reproducible), and the
+iterative connected-components queries oracle via a recursive-CTE
+reachability fixpoint (round 4 — matches the alternating-star
+contraction at any component diameter).
 """
 
 from __future__ import annotations
