@@ -117,3 +117,42 @@ def test_tiered_reads_agree_across_states(spark_global, tmp_path_factory, data):
         assert set(got) == set(expect), f"tier={tier}"
         for k, seq in got.items():
             assert seq == full_expect[k][0], f"tier={tier} key={k}"
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=0, max_size=80,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_union_find(spark_global, edges):
+    """Property lock for operators/components.py: on ARBITRARY edge
+    lists (self-loops, duplicates, both orientations, disconnected
+    pieces) the alternating-star contraction must agree exactly with a
+    reference union-find with path compression."""
+    from dlt_spark.operators.components import connected_components
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    par: dict[int, int] = {}
+
+    def find(x):
+        while par.setdefault(x, x) != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            par[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in par}
+
+    df = spark_global.createDataFrame(real, "u long, v long")
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(df).collect()
+    }
+    assert got == want
