@@ -376,17 +376,29 @@ def run_incremental(
             )
             .distinct()
         )
-        counts = {
-            int(r["bid"]): r["c"]
-            for r in d.groupBy("bid").agg(F.count("*").alias("c")).collect()
-        }
-        small = [b for b, c in counts.items() if c <= mass_delete_parents]
-        for b, c in counts.items():
-            if c > mass_delete_parents:
-                del_batches[b] = MASS_DELETE
-        if small:
-            for r in d.where(F.col("bid").isin(small)).collect():
-                del_batches.setdefault(int(r["bid"]), []).append(r)
+        if len(work) == 1:
+            # single-batch run (the steady-tick shape): skip the
+            # per-batch count job — one cap-guarded collect decides
+            # small-vs-mass directly, halving the prefetch's driver
+            # jobs on the latency-sensitive path
+            rows = d.limit(mass_delete_parents + 1).collect()
+            if len(rows) > mass_delete_parents:
+                del_batches[work[0][0]] = MASS_DELETE
+            else:
+                for r in rows:
+                    del_batches.setdefault(int(r["bid"]), []).append(r)
+        else:
+            counts = {
+                int(r["bid"]): r["c"]
+                for r in d.groupBy("bid").agg(F.count("*").alias("c")).collect()
+            }
+            small = [b for b, c in counts.items() if c <= mass_delete_parents]
+            for b, c in counts.items():
+                if c > mass_delete_parents:
+                    del_batches[b] = MASS_DELETE
+            if small:
+                for r in d.where(F.col("bid").isin(small)).collect():
+                    del_batches.setdefault(int(r["bid"]), []).append(r)
 
     from concurrent.futures import ThreadPoolExecutor
 
