@@ -131,7 +131,14 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--to-version", type=int, default=None)
     ch.add_argument("--out", default=None,
                     help="write the change rows as parquet here "
-                         "(default: print the count)")
+                         "(default: print the count); with --follow, "
+                         "each window lands under <out>/v<from>_<to>")
+    ch.add_argument("--follow", action="store_true",
+                    help="tail committed windows from --from-version "
+                         "(CDC-out relay; streaming/changes.py)")
+    ch.add_argument("--interval-secs", type=float, default=1.0)
+    ch.add_argument("--max-windows", type=int, default=0,
+                    help="with --follow: stop after N windows (0 = forever)")
     ch.add_argument("--master", default=None)
 
     v = sub.add_parser("vacuum", help="remove orphan files (lists the store)")
@@ -404,6 +411,28 @@ def main(argv: list[str] | None = None) -> int:
         t = LakehouseTable.load(spark, args.table)
         for row in t.history():
             print(json.dumps(row))
+        return 0
+
+    if args.cmd == "changes" and args.follow:
+        import os as _os
+
+        from dlt_spark.streaming.changes import stream_changes
+
+        def _deliver(df, lo, hi):
+            rec = {"window": [lo, hi], "rows": df.count()}
+            if args.out:
+                p = _os.path.join(args.out, f"v{lo}_{hi}")
+                df.write.mode("overwrite").parquet(p)
+                rec["out"] = p
+            print(json.dumps(rec), flush=True)
+
+        ckpt = stream_changes(
+            spark, args.table, _deliver,
+            from_version=args.from_version,
+            poll_secs=args.interval_secs,
+            max_windows=args.max_windows,
+        )
+        print(json.dumps({"checkpoint_version": ckpt}), flush=True)
         return 0
 
     if args.cmd == "changes":

@@ -190,3 +190,52 @@ def test_stream_sync_cascade_deletes(spark, tmp_path):
     assert list(out["p/block/0"]["tokens"]) == [9]
     assert list(out["p/tx/0"]["tokens"]) == [11]
     assert list(out["q/tx/0"]["tokens"]) == [50]
+
+
+def test_stream_changes_tails_committed_windows(spark, tmp_path):
+    """CDC-out tail (streaming/changes.py): windows align to committed
+    snapshot versions, a resumed tail continues from the returned
+    checkpoint with no overlap and no loss, and the union of windows
+    equals the batch changes_between over the same range."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+    from dlt_spark.sources.generator import generate_change_log
+    from dlt_spark.streaming.changes import stream_changes
+
+    log = str(tmp_path / "log")
+    tbl = str(tmp_path / "tbl")
+    write_change_log(
+        generate_change_log(spark, 2_000, n_keys=150, seed=12),
+        log, part_width=500,
+    )
+
+    def key(df):
+        return {
+            (r["doc_id"], r["_commit_seq"], r["_deleted"])
+            for r in df.select("doc_id", "_commit_seq", "_deleted").collect()
+        }
+
+    windows: list[set] = []
+
+    def on_batch(df, lo, hi):
+        windows.append(key(df))
+
+    # first half committed, then tailed from version 0
+    run_incremental(spark, log, tbl, seq_to=999, batch_width=500,
+                    n_buckets=8, log_part_width=500)
+    ckpt = stream_changes(spark, tbl, on_batch, from_version=0,
+                          max_windows=1, poll_secs=0.05)
+    # second half committed, tail RESUMES from the checkpoint
+    run_incremental(spark, log, tbl, batch_width=500,
+                    n_buckets=8, log_part_width=500)
+    ckpt2 = stream_changes(spark, tbl, on_batch, from_version=ckpt,
+                           max_windows=1, poll_secs=0.05)
+
+    t = LakehouseTable.load(spark, tbl)
+    assert ckpt2 == t.version
+    assert len(windows) == 2
+    assert not (windows[0] & windows[1]), "windows overlapped"
+    assert windows[0] | windows[1] == key(t.changes_between(0, t.version))
+    # the feed carries tombstones (deletes visible to downstream)
+    assert any(d for _, _, d in windows[0] | windows[1])
