@@ -630,8 +630,9 @@ def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components clustering of the verified near-duplicate
     pairs — the canonicalization step after near-dup detection (keep
     one representative per duplicate cluster).  Delegates to
-    operators.components.connected_components: min-label propagation
-    WITH pointer jumping, iterated to a detected fixpoint — so the
+    operators.components.connected_components: alternating large-star/
+    small-star edge contraction (Kiveris et al. SoCC'14), iterated to
+    a detected fixpoint — so the
     cluster id is the true component minimum at ANY diameter (the r3
     fixed-8-round unroll silently under-merged chains longer than 8
     hops, VERDICT r3 wrong-#2; locked by the long-chain fixture in
@@ -1993,8 +1994,9 @@ FROM c
 _ORACLES["docs_seq_packing_sharded"] = """
 WITH c AS (
   SELECT doc_id, n_chars,
-         doc_id % 16 AS shard,
-         sum(n_chars) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
+         ((doc_id % 16) + 16) % 16 AS shard,
+         sum(n_chars) OVER (PARTITION BY ((doc_id % 16) + 16) % 16
+             ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off0
   FROM documents)
 SELECT doc_id,

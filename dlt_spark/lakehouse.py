@@ -1009,10 +1009,22 @@ class LakehouseTable:
         main delta is prepared in the pipeline and a small gap-tombstone
         delta is prepared at commit time.  Every stat is a sum/min/max
         of per-row quantities, so merging is exact: verify_batch
-        recomputes Σ hash over ALL delta_files, matching dh_a + dh_b."""
-        if not b.get("files"):
+        recomputes Σ hash over ALL delta_files, matching dh_a + dh_b.
+
+        A ZERO-ROW delta counts as empty even when it carries files:
+        Spark writes a schema-only parquet part for an empty DataFrame,
+        so prepare_delta can return files non-empty with stats
+        {n: 0, lo: None, ...} (e.g. a phase-B gap join with no matching
+        children).  Merging those None stats into min()/max() would
+        TypeError — treat the side as absent instead."""
+
+        def _empty(p: dict) -> bool:
+            st = p.get("stats")
+            return not p.get("files") or st is None or not st.get("n")
+
+        if _empty(b):
             return a
-        if not a.get("files"):
+        if _empty(a):
             return b
         sa, sb = a["stats"], b["stats"]
         has_counts = a["has_counts"] and b["has_counts"]
@@ -1562,10 +1574,11 @@ class LakehouseTable:
         modulus divides the current one."""
         if factor < 2 or (factor & (factor - 1)):
             raise ValueError("factor must be a power of two >= 2")
+        snap = self._snap  # pin ONE snapshot — see _pending docstring
         new_snap = dict(
-            self._snap,
-            version=self.version + 1,
-            n_buckets=self.n_buckets * factor,
+            snap,
+            version=snap["version"] + 1,
+            n_buckets=snap["n_buckets"] * factor,
         )
         self._publish(new_snap)
 
@@ -1577,20 +1590,21 @@ class LakehouseTable:
         re-partitions them.  Pending L1/L0 rows over the same keys are
         untouched: read-time resolve handles them regardless of the
         base's modulus.  Returns the new entry keys."""
-        bm = dict(self._snap["buckets"])
+        snap = self._snap  # pin ONE snapshot — see _pending docstring
+        bm = dict(snap["buckets"])
         files = bm.get(key)
         if not files:
             raise ValueError(f"unknown or empty bucket entry {key!r}")
         m, _r = _bkey_parse(key)
-        if m == self.n_buckets:
+        if m == snap["n_buckets"]:
             raise ValueError(
                 f"bucket {key!r} is already at the current modulus "
-                f"{self.n_buckets}; call split_buckets() first"
+                f"{snap['n_buckets']}; call split_buckets() first"
             )
         out = self._write_bucketed(self._raw(self._abs(files)), "base")
         del bm[key]
         bm.update(out)
-        new_snap = dict(self._snap, version=self.version + 1, buckets=bm)
+        new_snap = dict(snap, version=snap["version"] + 1, buckets=bm)
         self._publish(new_snap)
         return sorted(out)
 
@@ -1600,17 +1614,22 @@ class LakehouseTable:
     def compact(self) -> None:
         """Full maintenance compaction: fold L0+L1+base into fresh
         bucket-pure bases (the explicit, all-at-once form of what the
-        ingest path does incrementally)."""
-        pend_files, _ = self._pending()
+        ingest path does incrementally).  Pins ONE snapshot for the
+        whole operation (same torn-view rule as read()/scan_raw()): a
+        concurrent commit between the pending-file listing and the
+        final snapshot build must surface as a version conflict at
+        _publish, never as a base built from a MIX of two snapshots."""
+        snap = self._snap  # pin ONE snapshot — see _pending docstring
+        pend_files, _ = self._pending(snap=snap)
         if not pend_files:
             return
-        paths = [p for ps in self._snap["buckets"].values() for p in ps]
+        paths = [p for ps in snap["buckets"].values() for p in ps]
         paths += pend_files
         resolved = self._resolve(self._raw(self._abs(paths)))
         buckets_map = self._write_bucketed(resolved, "base")
         new_snap = dict(
-            self._snap,
-            version=self.version + 1,
+            snap,
+            version=snap["version"] + 1,
             buckets=buckets_map,
             base_rows=_parquet_rows(
                 self._abs([p for ps in buckets_map.values() for p in ps])
@@ -1632,6 +1651,7 @@ class LakehouseTable:
         """
         from pyspark.sql import Observation
 
+        snap = self._snap  # pin ONE snapshot — see _pending docstring
         all_rows = self.read(include_deleted=True)
         purge = F.col("_deleted") & (F.col("_commit_seq") <= horizon_seq)
         obs = Observation(f"purge-{uuid.uuid4().hex[:8]}")
@@ -1652,9 +1672,13 @@ class LakehouseTable:
             for d in dirs:
                 shutil.rmtree(d, ignore_errors=True)
             return 0
+        # Build from the PINNED snap: a concurrent commit between the
+        # read and here surfaces as a SnapshotConflict at _publish
+        # (version CAS), never as a snapshot that silently drops the
+        # deltas the read didn't fold in.
         new_snap = dict(
-            self._snap,
-            version=self.version + 1,
+            snap,
+            version=snap["version"] + 1,
             buckets=buckets_map,
             base_rows=_parquet_rows(
                 self._abs([p for ps in buckets_map.values() for p in ps])

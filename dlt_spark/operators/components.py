@@ -103,6 +103,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev = _edge_sig(E)
+    prev_E = E
     for _ in range(max_rounds):
         # large-star: (v, m(u)) for every neighbor v > u.  Canonical
         # orientation holds: m <= u < v, and v == m is impossible.
@@ -133,12 +134,20 @@ def connected_components(
         )
         cur = _edge_sig(E)
         if cur == prev:
-            # fixpoint: stars centered at component minima — one
-            # min-agg reads the labels off the edge set
-            return _min_star(_sym(E)).select(
-                F.col("u").alias("node"), F.col("m").alias("label")
-            )
+            # Signature equality is (count, Σhash); confirm the
+            # fixpoint EXACTLY with one set-difference job before
+            # returning (VERDICT r4 #5).  Both edge sets are distinct
+            # and the signature says equal count, so one-direction
+            # emptiness proves set equality.  A signature collision
+            # (astronomically unlikely) just keeps iterating.
+            if E.exceptAll(prev_E).isEmpty():
+                # fixpoint: stars centered at component minima — one
+                # min-agg reads the labels off the edge set
+                return _min_star(_sym(E)).select(
+                    F.col("u").alias("node"), F.col("m").alias("label")
+                )
         prev = cur
+        prev_E = E
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} "
         "alternating-star rounds (O(log^2 n) expected) - check the "

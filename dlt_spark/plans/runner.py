@@ -404,13 +404,18 @@ def run_incremental(
 
     def _commit_one(batch_id: int, lo: int, hi: int, prepared: dict) -> None:
         nonlocal applied, ev_read, ev_applied, dels
-        # NOTE: "_cascade_wm" stays in the dict — the gap task reads it
-        # concurrently; commit_delta ignores unknown keys.
+        # "_cascade_ctx" must stay in `prepared` until the gap task has
+        # read it (it waits on this batch's phase-A future concurrently)
+        # — but it is runner-internal, so strip it from the copy handed
+        # to commit_delta rather than relying on unknown-key tolerance.
         gf = gap_futs.get(batch_id)
         if gf is not None:
             supp = gf.result()
             if supp is not None:
                 prepared = LakehouseTable.merge_prepared(prepared, supp)
+        if "_cascade_ctx" in prepared:
+            prepared = {k: v for k, v in prepared.items()
+                        if k != "_cascade_ctx"}
         m = table.commit_delta(
             prepared, job_id, batch_id, seq_from=lo, seq_to=hi, force=force
         )

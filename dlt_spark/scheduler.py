@@ -17,8 +17,11 @@ every connection resumes from its own watermark.
 Cron support is the standard 5-field subset (minute hour day-of-month
 month day-of-week; ``*``, ``*/n``, ``a-b``, lists), evaluated at
 minute granularity in local time — each matching minute fires at most
-once.  An ``interval_secs`` schedule needs no wall-clock alignment and
-is what the tests use.
+once, and a matching minute that ELAPSES while a long single-flight
+run holds the loop is fired late (one coalesced catch-up run for the
+whole missed span), so cron schedules get the same deferred-never-
+skipped guarantee as interval schedules.  An ``interval_secs``
+schedule needs no wall-clock alignment and is what the tests use.
 """
 
 from __future__ import annotations
@@ -70,10 +73,37 @@ def cron_matches(expr: str, t: time.struct_time) -> bool:
     return dom_ok and dow_ok
 
 
+def cron_due(cron: str, st: "_ConnState", now: float) -> bool:
+    """Whether a cron-scheduled connection is due at wall-clock ``now``.
+
+    Evaluates EVERY minute elapsed since the last evaluation, not just
+    the current one: a long single-flight run that spans a matching
+    minute defers the fire (one coalesced catch-up via mark_cron_ran)
+    instead of skipping it forever.  Backlog capped at one day so a
+    resumed laptop doesn't replay a week.  Mutates ``st.last_cron_check``
+    past non-matching minutes (pure bookkeeping; a match is consumed by
+    mark_cron_ran after the run completes)."""
+    minute = int(now // 60)
+    if st.last_cron_check is None:
+        st.last_cron_check = minute - 1
+    start = max(st.last_cron_check + 1, minute - 1440)
+    for m in range(start, minute + 1):
+        if cron_matches(cron, time.localtime(m * 60)):
+            return True
+    st.last_cron_check = minute
+    return False
+
+
+def mark_cron_ran(st: "_ConnState", now: float) -> None:
+    """Consume the whole elapsed span (coalesced catch-up): every
+    matching minute up to ``now`` fired via the run that just ended."""
+    st.last_cron_check = int(now // 60)
+
+
 @dataclass
 class _ConnState:
     next_due: float = 0.0  # monotonic seconds (interval schedule)
-    last_cron_minute: int | None = None  # epoch-minute already fired
+    last_cron_check: int | None = None  # last epoch-minute EVALUATED
     runs: int = 0
     events_read: int = 0
 
@@ -129,16 +159,12 @@ def run_sync_daemon(
     def _due(conn, st: _ConnState) -> bool:
         cron = getattr(conn, "cron", None)
         if cron:
-            now = time.time()
-            minute = int(now // 60)
-            if st.last_cron_minute == minute:
-                return False
-            return cron_matches(cron, time.localtime(now))
+            return cron_due(cron, st, time.time())
         return time.monotonic() >= st.next_due
 
     def _mark_ran(conn, st: _ConnState) -> None:
         if getattr(conn, "cron", None):
-            st.last_cron_minute = int(time.time() // 60)
+            mark_cron_ran(st, time.time())
         else:
             st.next_due = time.monotonic() + float(
                 getattr(conn, "interval_secs", 5.0)

@@ -381,3 +381,71 @@ def test_mass_delete_through_runner_equals_collected_path(spark, tmp_path, monke
                     batch_width=750, n_buckets=8, log_part_width=500,
                     max_inflight=4)
     assert state(mass) == state(collected)
+
+
+def test_merge_prepared_zero_row_delta_is_empty(spark, tmp_path):
+    """ADVICE r4 (high): Spark writes a schema-only parquet part for an
+    empty DataFrame, so prepare_delta returns files non-empty with
+    stats {n: 0, lo: None, smin: None}; merge_prepared only guarded
+    `not files` and crashed with TypeError(min(None, str)).  A zero-row
+    delta must merge as the identity on either side."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.operators.dedup import dedup_lww
+    from dlt_spark.functions.normalize import normalize_events
+    from dlt_spark.sources.generator import generate_change_log
+
+    t = LakehouseTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    upd = dedup_lww(
+        normalize_events(generate_change_log(spark, 100, n_keys=20, seed=1)),
+        with_counts=True,
+    )
+    main = t.prepare_delta(upd, "j", 0)
+    supp = t.prepare_delta(upd.where(F.lit(False)), "j", 0)
+    # the trap shape: stats None or n == 0 (schema-only part files)
+    assert supp["stats"] is None or supp["stats"]["n"] == 0
+
+    assert LakehouseTable.merge_prepared(main, supp) is main
+    assert LakehouseTable.merge_prepared(supp, main) is main
+    both = LakehouseTable.merge_prepared(supp, supp)
+    assert both["stats"] is None or both["stats"]["n"] == 0
+    # and the surviving side still commits cleanly
+    m = t.commit_delta(LakehouseTable.merge_prepared(main, supp),
+                       "j", 0, seq_from=1, seq_to=100)
+    assert m["events_applied"] > 0
+
+
+def test_cascade_empty_gap_delta_commits(spark, tmp_path):
+    """ADVICE r4 (high), end-to-end shape: a delete batch whose gap
+    join matches NOTHING (insert+delete of a brand-new doc within one
+    batch while an earlier batch is still in flight) produced a
+    zero-row phase-B tombstone delta; merging it into the atomic
+    commit crashed the whole run with TypeError(min(None, str)).
+    The run must commit, and the deleted doc's children must be dead."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+
+    rows = [
+        Row(commit_seq=1, doc_id="a", op="I", tokens=None,
+            payload='{"block": [1], "txs": [[10]]}',
+            payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=2, doc_id="b", op="I", tokens=None,
+            payload='{"block": [2], "txs": [[20]]}',
+            payload_version=1, source="s", extracted_at=None),
+        # batch 1: x is born and dies inside the batch — its children
+        # exist only in phase A's own-batch cover, so the phase-B gap
+        # join over batch 0's delta finds zero rows
+        Row(commit_seq=3, doc_id="x", op="I", tokens=None,
+            payload='{"block": [3], "txs": [[30]]}',
+            payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=4, doc_id="x", op="D", tokens=None,
+            payload=None, payload_version=1, source="s", extracted_at=None),
+    ]
+    log = str(tmp_path / "log")
+    tbl = str(tmp_path / "tbl")
+    write_change_log(_ev(spark, rows), log, part_width=2)
+    run_incremental(spark, log, tbl, schema="exploded_cascade",
+                    batch_width=2, n_buckets=4, log_part_width=2,
+                    max_inflight=2)
+    out = {r["doc_id"] for r in LakehouseTable.load(spark, tbl).read().collect()}
+    assert out == {"a/block/0", "a/tx/0", "b/block/0", "b/tx/0"}

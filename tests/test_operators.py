@@ -243,3 +243,22 @@ def test_connected_components_multi_component_and_failfast(spark):
     pdf = spark.createDataFrame(path, "u long, v long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pdf, max_rounds=1)
+
+
+def test_connected_components_signature_collision_cannot_lie(spark, monkeypatch):
+    """VERDICT r4 #5 lock: fixpoint detection is a (count, Σhash)
+    signature, CONFIRMED by an exact one-direction exceptAll emptiness
+    check before returning.  Force the signature to collide on every
+    round (monkeypatched constant): the exact confirm must keep
+    rejecting premature fixpoints, and the final answer on a path graph
+    must still be the true single component."""
+    from dlt_spark.operators import components as C
+
+    monkeypatch.setattr(C, "_edge_sig", lambda edges: (0, 0))
+    n = 33  # diameter 32: several rounds, every one a forced collision
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    )
+    out = C.connected_components(df, src="u", dst="v", max_rounds=16).collect()
+    assert len(out) == n
+    assert {r["label"] for r in out} == {0}

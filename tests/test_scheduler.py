@@ -155,3 +155,38 @@ def test_daemon_cron_connection_fires_and_stop(spark, tmp_path):
     # exactly one run: the cron minute fired once, then stop() hit
     assert summary["c"]["runs"] == 1 and len(ran) == 1
     assert ran[0] >= 400
+
+
+def test_cron_due_missed_minute_fires_late():
+    """ADVICE r4: due-ness used to be evaluated only against the
+    CURRENT minute, so a matching minute that elapsed while a long
+    single-flight run held the loop was skipped entirely (for an
+    hourly cron: skipped for an hour).  cron_due must scan every
+    minute since the last evaluation and fire late, coalesced."""
+    from dlt_spark.scheduler import _ConnState, cron_due, mark_cron_ran
+
+    M = 29_641_000  # arbitrary epoch-minute base
+    m0 = time.localtime(M * 60).tm_min
+    target = (m0 + 1) % 60  # the cron minute = epoch minute M+1
+    cron = f"{target} * * * *"
+    st = _ConnState()
+
+    assert not cron_due(cron, st, M * 60)          # M doesn't match
+    # a run keeps the loop busy across M+1 (the match) to M+3
+    assert cron_due(cron, st, (M + 3) * 60 + 5)    # fired LATE, not lost
+    mark_cron_ran(st, (M + 3) * 60 + 9)
+    assert not cron_due(cron, st, (M + 3) * 60 + 30)  # consumed
+    assert not cron_due(cron, st, (M + 4) * 60)       # nothing new
+    # next hour's matching minute fires again
+    assert cron_due(cron, st, (M + 61) * 60 + 1)
+    mark_cron_ran(st, (M + 61) * 60 + 2)
+
+    # two matched minutes in one busy span coalesce into ONE fire
+    assert cron_due(cron, st, (M + 185) * 60)      # spans M+121, M+181
+    mark_cron_ran(st, (M + 185) * 60)
+    assert not cron_due(cron, st, (M + 185) * 60 + 30)
+
+    # backlog capped at one day: a week-stale state scans 1440 minutes
+    st2 = _ConnState()
+    st2.last_cron_check = M - 7 * 1440
+    assert cron_due(cron, st2, M * 60)  # still finds a match inside the day
