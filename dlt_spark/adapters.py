@@ -165,7 +165,7 @@ class ExplodedAdapter:
 
     def expand_deletes(
         self, normalized: DataFrame, table, del_rows=None, uncovered=None,
-        materialize: bool = False,
+        materialize: bool = False, table_candidates=None,
     ) -> DataFrame:
         """Cascade expansion as ONE DataFrame (normalized ∪ tombstones)
         — the serialized-epoch entry point (streaming sync; direct
@@ -176,7 +176,9 @@ class ExplodedAdapter:
 
         ``uncovered`` — optional normalized-shape rows covering a log
         range the table/batch pair misses (legacy hook; the runner's
-        gap handling passes pre-shaped candidates instead)."""
+        gap handling passes pre-shaped candidates instead).
+
+        ``table_candidates`` — see cascade_tombstones."""
         if not self.cascade_deletes:
             return normalized
         # The batch feeds both the output union and the candidate
@@ -198,7 +200,8 @@ class ExplodedAdapter:
                 F.col("commit_seq").alias("child_seq"),
             )
         tombs = self.cascade_tombstones(
-            normalized, table, del_rows=del_rows, gap_candidates=gap
+            normalized, table, del_rows=del_rows, gap_candidates=gap,
+            table_candidates=table_candidates,
         )
         if tombs is None:
             return normalized
@@ -211,6 +214,7 @@ class ExplodedAdapter:
         del_rows=None,
         gap_candidates: DataFrame | None = None,
         with_counts: bool = False,
+        table_candidates=None,
     ) -> DataFrame | None:
         """For each parent-delete event in ``normalized``, one tombstone
         per candidate child key at the delete's seq; None when the
@@ -259,6 +263,17 @@ class ExplodedAdapter:
 
         ``with_counts=True`` adds ``_n_events = 1`` so a slim tombstone
         delta keeps exact events_read semantics without an LWW pass.
+
+        ``table_candidates`` — run-scoped SHARED candidate snapshot
+        (VERDICT r4 next-#1).  ``None`` (default): this call runs its
+        own bucket-pruned ``scan_raw``.  A DataFrame: the runner
+        already materialized ONE key-projected scan of the table
+        (columns doc_id/kind/array_index/parent_doc_id + child_seq=-1,
+        localCheckpoint'ed) at the run's starting watermark and every
+        delete batch reuses it — the per-batch scan disappears; rows
+        committed after that watermark reach this batch through
+        ``gap_candidates``.  ``False``: the table was EMPTY at the
+        run's starting watermark — skip the scan entirely.
         """
         if not self.cascade_deletes:
             return None
@@ -302,28 +317,36 @@ class ExplodedAdapter:
         )
         if gap_candidates is not None:
             in_batch = in_batch.unionByName(gap_candidates)
-        buckets = None
-        if dels_df is None and table.bucket_expr == self.bucket_expr:
-            # collected (sparse) path: prune the table scan to the
-            # parents' bucket residues
-            buckets = sorted({int(r["b"]) % table.n_buckets for r in del_rows})
-        # RESOLVE-FREE lookup (scan_raw): blanket-tombstoning every
-        # historical child key is LWW-idempotent — a tombstone at
-        # del_seq loses to any newer version of the key (re-insert,
-        # forced replay) and re-deleting a dead key is a no-op — so the
-        # candidate scan needs no winner resolution and therefore no
-        # shuffle; its whole plan is the pruned, projected parquet scan.
-        tdf = table.scan_raw(
-            buckets=buckets,
-            columns=["doc_id", "kind", "array_index", "parent_doc_id"],
-        )
-        if "kind" in tdf.columns:  # empty fresh table has no extras yet
-            in_table = tdf.select(
-                "doc_id", "kind", "array_index", "parent_doc_id"
-            ).withColumn("child_seq", F.lit(-1).cast("long"))
-            cand = in_table.unionByName(in_batch)
+        if table_candidates is False:
+            cand = in_batch  # table empty at the run's start watermark
+        elif table_candidates is not None:
+            cand = table_candidates.unionByName(in_batch)
         else:
-            cand = in_batch
+            buckets = None
+            if dels_df is None and table.bucket_expr == self.bucket_expr:
+                # collected (sparse) path: prune the table scan to the
+                # parents' bucket residues
+                buckets = sorted(
+                    {int(r["b"]) % table.n_buckets for r in del_rows}
+                )
+            # RESOLVE-FREE lookup (scan_raw): blanket-tombstoning every
+            # historical child key is LWW-idempotent — a tombstone at
+            # del_seq loses to any newer version of the key (re-insert,
+            # forced replay) and re-deleting a dead key is a no-op — so
+            # the candidate scan needs no winner resolution and
+            # therefore no shuffle; its whole plan is the pruned,
+            # projected parquet scan.
+            tdf = table.scan_raw(
+                buckets=buckets,
+                columns=["doc_id", "kind", "array_index", "parent_doc_id"],
+            )
+            if "kind" in tdf.columns:  # empty fresh table: no extras yet
+                in_table = tdf.select(
+                    "doc_id", "kind", "array_index", "parent_doc_id"
+                ).withColumn("child_seq", F.lit(-1).cast("long"))
+                cand = in_table.unionByName(in_batch)
+            else:
+                cand = in_batch
         return (
             cand.join(dels, cand["parent_doc_id"] == dels["p"])
             .where(F.col("child_seq") < F.col("del_seq"))

@@ -30,6 +30,13 @@ from dlt_spark.operators.salt import salted_repartition
 from dlt_spark.sources.changelog import open_change_log, slice_change_log
 
 
+# Shared-candidate-snapshot bound: one materialized key-projected table
+# scan amortizes across at most this many batches; longer runs fall
+# back to per-batch pruned scans (the gap windows, which the shared
+# mode widens to (run-start, batch-start), stay O(this) deltas deep).
+_SHARED_CAND_MAX_BATCHES = 16
+
+
 @dataclass
 class RunResult:
     job_id: str
@@ -173,12 +180,17 @@ def run_incremental(
             # unioning phase-A tombstones AFTER dedup_lww in the same
             # write job 15.0s (skipping the shuffle writes candidate
             # multiplicity raw — the dedup collapse pays for itself).
-            wm0 = table.watermark()
+            # Shared-snapshot mode pins EVERY delete batch's candidate
+            # watermark at the run start; the wider (wm, lo) gap is
+            # served by the earlier batches' prepared delta files.
+            wm0 = shared_wm if shared_wm is not None else table.watermark()
             normalized = adapter.expand_deletes(
                 normalized, table, del_rows=del_batches[batch_id],
                 # concurrent-prepare shape iff the gap is non-empty —
                 # the materialization A/B in expand_deletes
                 materialize=wm0 + 1 <= lo - 1,
+                table_candidates=shared_cand if shared_wm is not None
+                else None,
             )
             cascade_ctx = (wm0,)
         # Salting is OFF by default: the LWW dedup is a hash aggregate
@@ -399,6 +411,38 @@ def run_incremental(
             if small:
                 for r in d.where(F.col("bid").isin(small)).collect():
                     del_batches.setdefault(int(r["bid"]), []).append(r)
+
+    # Run-scoped SHARED candidate snapshot (VERDICT r4 next-#1): with
+    # deletes in SEVERAL batches of one run, each phase A used to pay
+    # its own key-projected table scan — the dominant residual in the
+    # bulk-cascade decomposition (BENCH/BASELINE.md r4).  Here ONE
+    # unpruned key-projected scan_raw is materialized (localCheckpoint,
+    # one upfront job) at the run's starting watermark and reused by
+    # every delete batch; rows committed after that watermark reach
+    # each batch through its phase-B gap candidates, whose machinery
+    # (_gap_tombstones over the earlier batches' PREPARED delta files)
+    # already covers exactly the (run-start, batch-start) window.
+    # Bounded to runs of <= _SHARED_CAND_MAX_BATCHES batches — beyond
+    # that the widening gap windows outgrow the saved scans — and to
+    # >= 2 delete batches (a single delete batch's bucket-pruned scan
+    # is cheaper than an unpruned materialization).
+    shared_wm: int | None = None
+    shared_cand = None
+    if len(del_batches) >= 2 and len(work) <= _SHARED_CAND_MAX_BATCHES:
+        from pyspark.sql import functions as F
+
+        shared_wm = table.watermark()
+        tdf = table.scan_raw(
+            columns=["doc_id", "kind", "array_index", "parent_doc_id"]
+        )
+        if "kind" in tdf.columns:  # empty fresh table has no extras yet
+            shared_cand = (
+                tdf.select("doc_id", "kind", "array_index", "parent_doc_id")
+                .withColumn("child_seq", F.lit(-1).cast("long"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            shared_cand = False  # sentinel: table empty — skip the scan
 
     from concurrent.futures import ThreadPoolExecutor
 
