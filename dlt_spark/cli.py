@@ -85,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
     l.add_argument("--force", action="store_true",
                    help="re-apply below the watermark (safe: idempotent)")
     l.add_argument("--verbose", action="store_true")
+    l.add_argument("--cascade-mode", default="eager",
+                   choices=("eager", "markers"),
+                   help="cascade deletes: eager child tombstones "
+                        "(default; CDC-out complete) or opt-in "
+                        "equality-delete markers (plain-speed delete "
+                        "batches; changes feed omits cascaded children)")
 
     s = sub.add_parser("sync", help="poll the log and apply increments")
     _add_common(s)
@@ -172,6 +178,15 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--retain-last", type=int, default=2)
     mt.add_argument("--grace-secs", type=float, default=3600.0)
     mt.add_argument("--master", default=None)
+
+    mm = sub.add_parser(
+        "materialize-markers",
+        help="convert accumulated cascade equality-delete markers into "
+             "real child tombstones in one amortized pass, then clear "
+             "the marker list (maintenance for --cascade-mode markers)",
+    )
+    mm.add_argument("--table", required=True)
+    mm.add_argument("--master", default=None)
 
     pt = sub.add_parser("purge", help="drop tombstones at/below a horizon")
     pt.add_argument("--table", required=True)
@@ -290,7 +305,7 @@ def main(argv: list[str] | None = None) -> int:
             force=args.force, use_arrow_udf=args.arrow_udf,
             schema=args.schema,
             log_part_width=args.log_part_width, verbose=args.verbose,
-            max_inflight=args.max_inflight,
+            max_inflight=args.max_inflight, cascade_mode=args.cascade_mode,
         )
         ev.sync_finished(res)
         print(json.dumps({
@@ -507,6 +522,14 @@ def main(argv: list[str] | None = None) -> int:
             "files_reclaimed": expired.get("files_removed", 0),
             "orphans_removed": removed,
         }))
+        return 0
+
+    if args.cmd == "materialize-markers":
+        from dlt_spark.lakehouse import LakehouseTable
+
+        t = LakehouseTable.load(spark, args.table)
+        n = t.materialize_markers()
+        print(json.dumps({"parents_materialized": n, "version": t.version}))
         return 0
 
     if args.cmd == "purge":

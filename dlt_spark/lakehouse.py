@@ -128,6 +128,13 @@ BROADCAST_KEYS_T2 = 20_000_000
 BASE_OVER_PENDING_MIN = 4
 BASE_ROWS_MIN_MERGE = 600_000
 
+# Cascade equality-delete markers (opt-in mode): the per-parent marker
+# map broadcasts below this row bound (markers are per parent-DELETE —
+# a ~24 B/row struct, ≤ ~25 MB at the cap); above it the read-side
+# application falls back to a shuffle join (AQE still broadcasts if the
+# runtime size allows).
+MARKER_BROADCAST_ROWS = 1_000_000
+
 # Parquet widening promotions Spark 4 readers apply at scan time
 # (SPARK-40876): physical type → readable-as types.
 _WIDEN_OK = {
@@ -288,6 +295,7 @@ def _normalize_snap(snap: dict) -> dict:
     snap.setdefault("manifest_spill", [])
     snap.setdefault("superseded", {})
     snap.setdefault("renames", {})
+    snap.setdefault("markers", [])  # cascade equality-delete markers
     snap.setdefault("base_rows", None)  # legacy: unknown → no cost model
     # pre-round-3 snapshots carry buckets/l1 lists inline (no refs)
     snap.setdefault("buckets_ref", None)
@@ -676,7 +684,9 @@ class LakehouseTable:
             if columns is None:
                 return df
             keep = list(dict.fromkeys(
-                [*columns, "doc_id", "_commit_seq", "_deleted", "_row_id"]
+                [*columns, "doc_id", "_commit_seq", "_deleted", "_row_id",
+                 # marker application joins on parent_doc_id post-resolve
+                 *(["parent_doc_id"] if snap.get("markers") else [])]
             ))
             return df.select(*[c for c in keep if c in df.columns])
 
@@ -732,6 +742,10 @@ class LakehouseTable:
                 out = self._resolve(
                     _bucket_filter(self._raw(self._abs(base_files + pend_files)))
                 )
+        # cascade equality-delete markers (opt-in mode): fold the marker
+        # set into _deleted on the resolved winners — a no-op join-free
+        # pass-through when the snapshot carries no markers (default)
+        out = self._apply_markers(out, snap)
         if not include_deleted:
             out = out.where(~F.col("_deleted"))
         return out
@@ -1001,6 +1015,159 @@ class LakehouseTable:
         return {"files": new_files, "stats": stats, "has_counts": has_counts,
                 "extras": extras}
 
+    def prepare_markers(self, dels) -> dict | None:
+        """Write a cascade equality-delete MARKER delta — the opt-in
+        alternative to eager child tombstones (BENCH/BASELINE.md r4:
+        markers move the candidate join off the ingest path at the cost
+        of the CDC-out feed no longer carrying cascade-deleted children;
+        that trade-off is why the mode is opt-in).  ``dels`` is
+        (p, del_seq, del_source): a LIST of tuples (the runner's
+        collected sparse path — written driver-side via pyarrow, ZERO
+        Spark jobs, like the manifest spill) or a DataFrame (the
+        MASS_DELETE path — distributed write; no coalesce: a single
+        serial task re-evaluating a driver-parallelized parent costs
+        seconds, measured 4.5 s vs 1.5 s for 5k rows).  Stateless like
+        prepare_delta; the returned {"files", "rows"} entry rides a
+        prepared dict as ``markers_delta`` into the batch's atomic
+        commit.  Returns None for a delete-free batch."""
+        rel = os.path.join(_DATA_DIR, f"markers-{uuid.uuid4().hex}")
+        absdir = os.path.join(self.path, rel)
+        if not isinstance(dels, DataFrame):
+            rows = list(dels)
+            if not rows:
+                return None
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(absdir, exist_ok=True)
+            tbl = pa.table({
+                "p": pa.array([str(r[0]) for r in rows], pa.string()),
+                "del_seq": pa.array([int(r[1]) for r in rows], pa.int64()),
+                "del_source": pa.array(
+                    [None if r[2] is None else str(r[2]) for r in rows],
+                    pa.string(),
+                ),
+            })
+            f = os.path.join(absdir, "markers.parquet")
+            pq.write_table(tbl, f)
+            return {"files": [os.path.relpath(f, self.path)],
+                    "rows": len(rows)}
+        from pyspark.sql import Observation
+
+        obs = Observation(f"markers-{uuid.uuid4().hex[:8]}")
+        rows_df = dels.select(
+            F.col("p").cast("string"),
+            F.col("del_seq").cast("long"),
+            F.col("del_source").cast("string"),
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
+        rows_df.write.mode("overwrite").parquet(absdir)
+        n = int(obs.get["n"] or 0)
+        if n == 0:
+            import shutil
+
+            shutil.rmtree(absdir, ignore_errors=True)
+            return None
+        return {"files": _list_parquet_files(absdir, self.path), "rows": n}
+
+    def _marker_map(self, snap: dict) -> DataFrame | None:
+        """(p, _mseq) — max marker seq per parent, or None when the
+        pinned snapshot carries no markers.  A child row is marker-dead
+        iff its WINNING ``_commit_seq`` < the parent's ``_mseq``
+        (re-inserts after the delete outrank every earlier marker, so
+        the per-parent max is exact).  Broadcast below the row bound —
+        markers are per parent-DELETE, not per child, so the map stays
+        small relative to the table."""
+        entries = snap.get("markers", [])
+        if not entries:
+            return None
+        files = [p for e in entries for p in e["files"]]
+        mk = (
+            self.spark.read.parquet(*self._abs(files))
+            .groupBy("p")
+            .agg(F.max("del_seq").alias("_mseq"))
+        )
+        total = sum(e["rows"] or 0 for e in entries)
+        if total <= MARKER_BROADCAST_ROWS:
+            mk = F.broadcast(mk)
+        return mk
+
+    def _apply_markers(self, out: DataFrame, snap: dict) -> DataFrame:
+        """Fold the marker set into ``_deleted`` on resolved winners.
+        No-op without markers; rows whose table lacks ``parent_doc_id``
+        cannot be cascade children and pass through."""
+        mk = self._marker_map(snap)
+        if mk is None or "parent_doc_id" not in out.columns:
+            return out
+        return (
+            out.join(mk, out["parent_doc_id"] == mk["p"], "left")
+            .withColumn(
+                "_deleted",
+                F.col("_deleted")
+                | (F.col("_mseq").isNotNull()
+                   & (F.col("_commit_seq") < F.col("_mseq"))),
+            )
+            .drop("p", "_mseq")
+        )
+
+    def materialize_markers(self) -> int:
+        """Maintenance: convert accumulated cascade markers into real
+        child tombstones in ONE amortized pass (the candidate join every
+        eager delete batch pays, paid once for ALL markers), then clear
+        the marker list in the same atomic commit.  After this the table
+        is state-equivalent to eager-cascade mode and CDC-out carries
+        the materialized deletes (late — at materialize time, not delete
+        time; the mode's documented trade-off).  Returns the number of
+        distinct parents materialized."""
+        snap = self._snap  # pin ONE snapshot — see _pending docstring
+        entries = snap.get("markers", [])
+        if not entries:
+            return 0
+        files = [p for e in entries for p in e["files"]]
+        mk = (
+            self.spark.read.parquet(*self._abs(files))
+            .groupBy("p")
+            .agg(
+                F.max("del_seq").alias("del_seq"),
+                F.max_by("del_source", "del_seq").alias("del_source"),
+            )
+        )
+        total = sum(e["rows"] or 0 for e in entries)
+        if total <= MARKER_BROADCAST_ROWS:
+            mk = F.broadcast(mk)
+        cand = self.scan_raw(
+            columns=["doc_id", "kind", "array_index", "parent_doc_id"]
+        )
+        if "parent_doc_id" not in cand.columns:
+            raise ValueError(
+                "markers present but table has no parent_doc_id column"
+            )
+        # blanket tombstones over every historical child key, exactly
+        # the eager phase-A shape: LWW-idempotent, duplicates settle at
+        # read-resolve, a re-insert newer than del_seq outranks them.
+        upd = (
+            cand.join(mk, cand["parent_doc_id"] == mk["p"])
+            .select(
+                "doc_id",
+                F.lit("D").alias("op"),
+                F.lit(None).cast("array<int>").alias("tokens"),
+                F.lit(None).cast("int").alias("n_tok"),
+                F.col("del_source").alias("source"),
+                F.col("del_seq").alias("commit_seq"),
+                "kind",
+                "array_index",
+                "parent_doc_id",
+            )
+            .dropDuplicates(["doc_id"])
+        )
+        prepared = self.prepare_delta(upd, "_markers", snap["version"])
+        prepared["clear_markers"] = True
+        self.commit_delta(prepared, "_markers", snap["version"])
+        n = (
+            self.spark.read.parquet(*self._abs(files))
+            .select("p").distinct().count()
+        )
+        return int(n)
+
     @staticmethod
     def merge_prepared(a: dict, b: dict) -> dict:
         """Fuse two prepared deltas into ONE commit unit (files + merged
@@ -1101,9 +1268,20 @@ class LakehouseTable:
     ) -> dict:
         if self.is_applied(job_id, batch_id) and not force:
             return self._find_manifest(job_id, batch_id)
+        # cascade equality-delete markers (opt-in, SURVEY M3 alternate):
+        # a marker delta rides the batch's atomic commit exactly like
+        # data files; materialize_markers clears the accumulated list.
+        markers: list | None = None
+        if prepared.get("markers_delta"):
+            markers = (
+                self._snap.get("markers", []) + [prepared["markers_delta"]]
+            )
+        if prepared.get("clear_markers"):
+            markers = []
         stats = prepared["stats"]
         if stats is None or stats["n"] == 0:
-            return self._commit_noop(job_id, batch_id, seq_from, seq_to, events_read)
+            return self._commit_noop(job_id, batch_id, seq_from, seq_to,
+                                     events_read, markers=markers)
         # Streaming epochs don't know their seq range up front — derive
         # it from the delta's observed min/max (no extra job).
         if seq_from is None:
@@ -1242,7 +1420,7 @@ class LakehouseTable:
         }
         self._commit(
             buckets_map, l1_map, deltas, manifest, extra_cols,
-            base_rows=base_rows,
+            base_rows=base_rows, markers=markers,
         )
         return manifest
 
@@ -1354,7 +1532,8 @@ class LakehouseTable:
         resolved = self._resolve_bucketed(self._raw(self._abs(paths), extras=extras))
         return self._write_bucketed(resolved, "base", pre_partitioned=True)
 
-    def _commit_noop(self, job_id, batch_id, seq_from, seq_to, events_read) -> dict:
+    def _commit_noop(self, job_id, batch_id, seq_from, seq_to, events_read,
+                     markers: list | None = None) -> dict:
         manifest = {
             "job_id": job_id,
             "batch_id": int(batch_id),
@@ -1375,6 +1554,7 @@ class LakehouseTable:
             {k: dict(v) for k, v in self._l1.items()},
             list(self._snap["deltas"]),
             manifest,
+            markers=markers,
         )
         return manifest
 
@@ -1472,6 +1652,7 @@ class LakehouseTable:
         extra_columns: list | None = None,
         renames: dict | None = None,
         base_rows: int | None = None,
+        markers: list | None = None,
     ) -> None:
         job, bid = manifest["job_id"], manifest["batch_id"]
         applied = {k: list(v) for k, v in self._snap["applied"].items()}
@@ -1522,6 +1703,10 @@ class LakehouseTable:
             "manifests": manifests,
             "manifest_spill": spill,
             "superseded": superseded,
+            "markers": (
+                markers if markers is not None
+                else self._snap.get("markers", [])
+            ),
             "watermark": max(self._snap["watermark"], manifest["seq_to"]),
         }
         self._publish(new_snap)
@@ -1716,6 +1901,8 @@ class LakehouseTable:
             data.update(e["files"])
         for e in s.get("deltas", []):
             data.update(e["files"])
+        for e in s.get("markers", []):
+            data.update(e["files"])
         # NOTE: manifest rows' delta_files are deliberately NOT refs —
         # once compaction supersedes a commit's delta AND every snapshot
         # still holding it in buckets/l1/deltas expires, the CDC-out
@@ -1817,6 +2004,8 @@ class LakehouseTable:
         for e in self._l1.values():
             out.extend(e["files"])
         for e in self._snap["deltas"]:
+            out.extend(e["files"])
+        for e in self._snap.get("markers", []):
             out.extend(e["files"])
         return out
 

@@ -93,6 +93,13 @@ def run_incremental(
     fail_after_batches: int | None = None,
     stop_requested=None,
     verbose: bool = False,
+    # "eager" (default): cascade deletes tombstone every child at ingest
+    # — the CDC-out feed carries them.  "markers" (OPT-IN): record
+    # equality-delete markers instead; the candidate join moves to read
+    # time (and to materialize_markers), delete batches ingest at plain
+    # speed, but changes_between no longer carries cascade-deleted
+    # children — only for consumers without CDC-out.
+    cascade_mode: str = "eager",
 ) -> RunResult:
     """One catch-up run (the `dlt load` analog, SURVEY §3.1/§3.3).
 
@@ -112,6 +119,10 @@ def run_incremental(
       load.go:62-86); here a stop leaves the table at a committed batch
       boundary and the next run resumes from the watermark.
     """
+    if cascade_mode not in ("eager", "markers"):
+        raise ValueError(
+            f"cascade_mode must be 'eager' or 'markers', got {cascade_mode!r}"
+        )
     adapter = get_adapter(schema)
     table = LakehouseTable.create(
         spark, table_path, n_buckets=n_buckets,
@@ -160,7 +171,31 @@ def run_incremental(
         events = slice_change_log(log_df, lo, hi, log_part_width)
         normalized = adapter.normalize(events, use_arrow_udf=use_arrow_udf)
         cascade_ctx = None
-        if batch_id in del_batches:
+        markers_delta = None
+        if batch_id in del_batches and cascade_mode == "markers":
+            # Equality-delete markers (opt-in): ONE tiny parquet write
+            # of (parent, del_seq, source) rides the batch's atomic
+            # commit; no candidate scan, no tombstone rows, no phase B.
+            from pyspark.sql import functions as F
+
+            dr = del_batches[batch_id]
+            if dr is MASS_DELETE:
+                dels = (
+                    slice_change_log(log_df, lo, hi, log_part_width)
+                    .where(F.col("op") == "D")
+                    .select(
+                        F.col("doc_id").alias("p"),
+                        F.col("commit_seq").alias("del_seq"),
+                        F.col("source").alias("del_source"),
+                    )
+                    .distinct()
+                )
+            else:
+                # collected sparse path: hand the rows straight to the
+                # driver-side pyarrow writer — zero Spark jobs
+                dels = [(r["p"], r["del_seq"], r["del_source"]) for r in dr]
+            markers_delta = table.prepare_markers(dels)
+        elif batch_id in del_batches:
             # TWO-PHASE cascade (VERDICT r3 next-#2).  Phase A (here):
             # expand_deletes unions tombstones for the table snapshot +
             # this batch's own children into the batch — riding the
@@ -209,6 +244,8 @@ def run_incremental(
         prepared = table.prepare_delta(updates, job_id, batch_id)
         if cascade_ctx is not None:
             prepared["_cascade_ctx"] = cascade_ctx
+        if markers_delta is not None:
+            prepared["markers_delta"] = markers_delta
         return prepared
 
     def _gap_task(batch_id: int, lo: int, hi: int):
@@ -428,7 +465,11 @@ def run_incremental(
     # is cheaper than an unpruned materialization).
     shared_wm: int | None = None
     shared_cand = None
-    if len(del_batches) >= 2 and len(work) <= _SHARED_CAND_MAX_BATCHES:
+    if (
+        cascade_mode != "markers"
+        and len(del_batches) >= 2
+        and len(work) <= _SHARED_CAND_MAX_BATCHES
+    ):
         from pyspark.sql import functions as F
 
         shared_wm = table.watermark()
@@ -489,7 +530,7 @@ def run_incremental(
             ThreadPoolExecutor(max_workers=max(2, max_inflight)) as gap_pool:
         for b, lo, hi in work:
             futs[b] = pool.submit(_prepare, b, lo, hi)
-            if b in del_batches:
+            if b in del_batches and cascade_mode != "markers":
                 gap_futs[b] = gap_pool.submit(_gap_task, b, lo, hi)
         try:
             for i, (batch_id, lo, hi) in enumerate(work):

@@ -502,3 +502,134 @@ def test_shared_candidate_snapshot_equals_per_batch_path(spark, tmp_path, monkey
     load(per_batch)
 
     assert state(shared) == state(per_batch)
+
+
+# --- cascade equality-delete markers (opt-in mode, VERDICT r4 #1) ----
+
+
+def _cascade_log(spark, tmp_path, n=3_000, seed=91):
+    from dlt_spark.sources.changelog import write_change_log
+    from dlt_spark.sources.generator import generate_change_log
+
+    ev = generate_change_log(spark, n, n_keys=150, seed=seed,
+                             version_mix=(1.0, 0.0, 0.0))
+    exp = ev.withColumn(
+        "payload",
+        F.when(F.col("op") != "D", F.to_json(F.struct(
+            F.slice(F.col("tokens"), 1, 3).alias("block"),
+            F.array(F.slice(F.col("tokens"), 4, 4)).alias("txs"),
+        ))),
+    ).withColumn("tokens", F.lit(None).cast("array<int>"))
+    log = str(tmp_path / "log")
+    write_change_log(exp, log, part_width=500)
+    return log
+
+
+def _live_state(spark, tbl):
+    from dlt_spark.lakehouse import LakehouseTable
+
+    return sorted(
+        (r["doc_id"], r["_commit_seq"], tuple(r["tokens"] or []))
+        for r in LakehouseTable.load(spark, tbl).read().collect()
+    )
+
+
+def test_marker_mode_matches_eager_cascade_state(spark, tmp_path):
+    """--cascade-mode markers: delete batches record equality-delete
+    markers instead of eager child tombstones; the LIVE read state must
+    be identical to eager mode (marker application at read resolves the
+    same children dead), including re-insert-revives semantics."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+
+    log = _cascade_log(spark, tmp_path)
+    eager = str(tmp_path / "eager")
+    run_incremental(spark, log, eager, schema="exploded_cascade",
+                    batch_width=500, n_buckets=8, log_part_width=500)
+    marked = str(tmp_path / "marked")
+    run_incremental(spark, log, marked, schema="exploded_cascade",
+                    batch_width=500, n_buckets=8, log_part_width=500,
+                    cascade_mode="markers")
+    assert _live_state(spark, eager) == _live_state(spark, marked)
+
+    t = LakehouseTable.load(spark, marked)
+    assert t._snap["markers"], "marker mode recorded no markers"
+    # marker mode writes NO cascade tombstone rows: its applied-events
+    # total is strictly below eager's (which unions blanket tombstones)
+    te = LakehouseTable.load(spark, eager)
+    applied_e = sum(m["events_applied"] for m in te.manifests_df().collect())
+    applied_m = sum(m["events_applied"] for m in t.manifests_df().collect())
+    assert applied_m < applied_e
+
+
+def test_materialize_markers_converts_and_clears(spark, tmp_path):
+    """materialize_markers(): one amortized candidate join converts the
+    marker set into real child tombstones and clears it atomically —
+    the live state is unchanged, markers are gone, and the tombstones
+    are now physical (visible to include_deleted and CDC-out)."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+
+    log = _cascade_log(spark, tmp_path)
+    tbl = str(tmp_path / "t")
+    run_incremental(spark, log, tbl, schema="exploded_cascade",
+                    batch_width=500, n_buckets=8, log_part_width=500,
+                    cascade_mode="markers")
+    before = _live_state(spark, tbl)
+    t = LakehouseTable.load(spark, tbl)
+    v0 = t.version
+    n = t.materialize_markers()
+    assert n > 0
+    assert t._snap["markers"] == []
+    assert t.version == v0 + 1
+    assert _live_state(spark, tbl) == before
+    # idempotent on an empty marker set
+    assert t.materialize_markers() == 0
+    # the materialized tombstones now ride the change feed
+    ch = t.changes_between(v0, t.version)
+    assert ch.where(F.col("_deleted")).count() > 0
+
+
+def test_default_cascade_mode_cdc_out_carries_cascaded_children(spark, tmp_path):
+    """The load-bearing reason markers are OPT-IN (BENCH/BASELINE.md
+    r4): the DEFAULT eager mode's change feed must carry every
+    cascade-deleted child as a delete row.  A parent delete in batch 2
+    must show its batch-1 children as _deleted rows in changes_between;
+    the marker-mode feed omits them (the documented trade-off)."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+
+    rows = [
+        Row(commit_seq=1, doc_id="p", op="I", tokens=None,
+            payload='{"block": [1], "txs": [[10], [20]]}',
+            payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=2, doc_id="q", op="I", tokens=None,
+            payload='{"block": [5], "txs": [[50]]}',
+            payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=3, doc_id="p", op="D", tokens=None,
+            payload=None, payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=4, doc_id="r", op="I", tokens=None,
+            payload='{"block": [7], "txs": [[70]]}',
+            payload_version=1, source="s", extracted_at=None),
+    ]
+    log = str(tmp_path / "log")
+    write_change_log(_ev(spark, rows), log, part_width=2)
+
+    def deleted_in_feed(tbl, mode):
+        run_incremental(spark, log, tbl, schema="exploded_cascade",
+                        batch_width=2, n_buckets=4, log_part_width=2,
+                        cascade_mode=mode)
+        t = LakehouseTable.load(spark, tbl)
+        ch = t.changes_between(0, t.version)
+        return {r["doc_id"] for r in ch.where(F.col("_deleted")).collect()}
+
+    eager_dead = deleted_in_feed(str(tmp_path / "eager"), "eager")
+    # the cascade-deleted children from BATCH 1's table state are in
+    # the default feed
+    assert {"p/block/0", "p/tx/0", "p/tx/1"} <= eager_dead
+    marked_dead = deleted_in_feed(str(tmp_path / "marked"), "markers")
+    # marker mode: only the parent's own block tombstone, no cascaded
+    # children — this omission is WHY the mode is opt-in
+    assert "p/tx/0" not in marked_dead and "p/tx/1" not in marked_dead
+    assert "p/block/0" in marked_dead
