@@ -178,34 +178,62 @@ def main() -> int:
         ),
     ).withColumn("tokens", F.lit(None).cast("array<int>"))
     write_change_log(exploded_ev, log3, part_width=pw3)
+    # Per-query medians (VERDICT r4 next-#8): this box's single-shot
+    # numbers have twice produced phantom ±70% regressions; every
+    # per-query figure below is a MEDIAN of n_q interleaved runs, with
+    # the raw runs recorded alongside.  --median N / BENCH_QUERY_RUNS
+    # overrides (N=1 restores single-shot).
+    import statistics
+
+    n_q = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
+    if "--median" in sys.argv:
+        n_q = int(sys.argv[sys.argv.index("--median") + 1])
+    q_runs: dict[str, list[float]] = {}
+
+    def _med(name: str, fn) -> float:
+        ts = []
+        for _ in range(n_q):
+            t0 = time.monotonic()
+            fn()
+            ts.append(round(time.monotonic() - t0, 3))
+        q_runs[name] = ts
+        return round(statistics.median(ts), 3)
+
     cascade_times: dict[str, float] = {}
     bw3 = max(1, n3 // batch_count)
     for schema, qname in (
         ("exploded", "cdc_exploded_plain"),
         ("exploded_cascade", "cdc_exploded_cascade"),
+        ("exploded_cascade", "cdc_exploded_markers"),
     ):
-        # bulk replay (adversarial for cascade: deletes in EVERY batch,
-        # so each pipelined prepare re-normalizes its in-flight gap)
-        tbl3 = os.path.join(work, f"tbl3_{schema}")
-        t0 = time.monotonic()
-        run_incremental(
-            spark, log3, tbl3, schema=schema, batch_width=bw3,
-            n_buckets=64, log_part_width=pw3, max_inflight=max_inflight,
-        )
-        cascade_times[qname] = round(time.monotonic() - t0, 3)
-        shutil.rmtree(tbl3, ignore_errors=True)
+        mode = "markers" if qname.endswith("markers") else "eager"
+
+        # bulk replay (adversarial for cascade: deletes in EVERY batch)
+        def _bulk():
+            tbl3 = os.path.join(work, f"tbl3_{qname}")
+            run_incremental(
+                spark, log3, tbl3, schema=schema, batch_width=bw3,
+                n_buckets=64, log_part_width=pw3, max_inflight=max_inflight,
+                cascade_mode=mode,
+            )
+            shutil.rmtree(tbl3, ignore_errors=True)
+
+        cascade_times[qname] = _med(qname, _bulk)
+
         # steady-state sync ticks (one batch per run, watermark current —
         # the deployment shape; the cascade gap is empty by construction)
-        tbl4 = os.path.join(work, f"tbl4_{schema}")
-        t0 = time.monotonic()
-        for b in range(batch_count):
-            run_incremental(
-                spark, log3, tbl4, schema=schema,
-                seq_from=b * bw3, seq_to=(b + 1) * bw3 - 1,
-                batch_width=bw3, n_buckets=64, log_part_width=pw3,
-            )
-        cascade_times[qname + "_ticks"] = round(time.monotonic() - t0, 3)
-        shutil.rmtree(tbl4, ignore_errors=True)
+        def _ticks():
+            tbl4 = os.path.join(work, f"tbl4_{qname}")
+            for b in range(batch_count):
+                run_incremental(
+                    spark, log3, tbl4, schema=schema,
+                    seq_from=b * bw3, seq_to=(b + 1) * bw3 - 1,
+                    batch_width=bw3, n_buckets=64, log_part_width=pw3,
+                    cascade_mode=mode,
+                )
+            shutil.rmtree(tbl4, ignore_errors=True)
+
+        cascade_times[qname + "_ticks"] = _med(qname + "_ticks", _ticks)
 
     # --- headline queries at the SF dir ---
     from dlt_spark.entry_queries import QUERIES
@@ -225,9 +253,11 @@ def main() -> int:
         "emb_cosine_topk",
         "docs_token_count",
     ):
-        t0 = time.monotonic()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        q_times[name] = round(time.monotonic() - t0, 3)
+        q_times[name] = _med(
+            name,
+            lambda name=name: QUERIES[name](spark, sf_dir)
+            .write.format("noop").mode("overwrite").save(),
+        )
 
     out = {
         "metric": "cdc_replay_to_convergence",
@@ -238,6 +268,8 @@ def main() -> int:
         "events": res.events_read,
         "events_per_sec": round(res.events_read / cdc_secs, 1),
         "replay_runs_sec": runs,
+        "query_median_of": n_q,
+        "query_runs_sec": q_runs,
         "batches": res.batches_applied,
         "cpus": cpus,
         "arrow_udf": use_arrow,
