@@ -76,13 +76,14 @@ from __future__ import annotations
 import bisect
 import json
 import os
-import tempfile
 import time
 import uuid
 from datetime import datetime, timezone
 
 from pyspark import StorageLevel  # noqa: F401  (re-export for callers)
 from pyspark.sql import DataFrame, SparkSession
+
+from dlt_spark.metafs import LocalMetaFS, MetaFS
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
@@ -317,7 +318,7 @@ def _normalize_snap(snap: dict) -> dict:
     return snap
 
 
-def _resolve_filelists(path: str, snap: dict) -> dict:
+def _resolve_filelists(path: str, snap: dict, fs: MetaFS | None = None) -> dict:
     """Inflate the in-memory ``buckets``/``l1`` maps from their sidecar
     refs (the on-disk snapshot stores only refs).  Pre-round-3 snapshots
     carry the lists inline and pass through unchanged.  Cost: one small
@@ -328,12 +329,13 @@ def _resolve_filelists(path: str, snap: dict) -> dict:
     brefs, lrefs = snap.get("buckets_ref"), snap.get("l1_ref")
     if brefs is None and lrefs is None:
         return snap
+    if fs is None:
+        fs = LocalMetaFS()
     cache: dict[str, dict] = {}
 
     def side(rel: str) -> dict:
         if rel not in cache:
-            with open(os.path.join(path, rel)) as f:
-                cache[rel] = json.load(f)
+            cache[rel] = json.loads(fs.read_text(os.path.join(path, rel)))
         return cache[rel]
 
     snap["buckets"] = {
@@ -346,10 +348,14 @@ def _resolve_filelists(path: str, snap: dict) -> dict:
 class LakehouseTable:
     """Handle to one merge-on-read table rooted at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str, snap: dict):
+    def __init__(self, spark: SparkSession, path: str, snap: dict,
+                 meta_fs: MetaFS | None = None):
         self.spark = spark
         self.path = path
-        self._snap = _resolve_filelists(path, _normalize_snap(snap))
+        # control-plane FS (snapshots / sidecars / CAS) — see metafs.py;
+        # data files always go through Spark's Hadoop FS layer
+        self.fs = meta_fs or LocalMetaFS()
+        self._snap = _resolve_filelists(path, _normalize_snap(snap), self.fs)
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -363,6 +369,7 @@ class LakehouseTable:
         max_deltas: int = 8,
         expected_rows: int | None = None,
         bucket_expr: str = "doc_id",
+        meta_fs: MetaFS | None = None,
     ) -> "LakehouseTable":
         """CREATE TABLE IF NOT EXISTS (SURVEY §2.1 S6).  Pass
         ``expected_rows`` (with ``n_buckets=None``) to size the bucket
@@ -373,11 +380,12 @@ class LakehouseTable:
             n_buckets = (
                 suggest_n_buckets(expected_rows) if expected_rows else 64
             )
+        fs = meta_fs or LocalMetaFS()
         snap_dir = os.path.join(path, _SNAP_DIR)
-        if os.path.isdir(snap_dir) and _latest_version(snap_dir) is not None:
-            return cls.load(spark, path)
-        os.makedirs(snap_dir, exist_ok=True)
-        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        if _latest_version(snap_dir, fs) is not None:
+            return cls.load(spark, path, meta_fs=fs)
+        fs.makedirs(snap_dir)
+        fs.makedirs(os.path.join(path, _DATA_DIR))
         snap = {
             "version": 0,
             "n_buckets": n_buckets,
@@ -415,41 +423,44 @@ class LakehouseTable:
             "buckets_ref": {},
             "l1_ref": {},
         }
-        _commit_snapshot(snap_dir, snap)
-        return cls(spark, path, snap)
+        _commit_snapshot(snap_dir, snap, fs)
+        return cls(spark, path, snap, meta_fs=fs)
 
     @classmethod
     def load(
-        cls, spark: SparkSession, path: str, version: int | None = None
+        cls, spark: SparkSession, path: str, version: int | None = None,
+        meta_fs: MetaFS | None = None,
     ) -> "LakehouseTable":
         """Open the table at the latest snapshot, or TIME-TRAVEL to an
         older retained ``version`` (Iceberg `VERSION AS OF` analog —
         snapshots are immutable JSON files, so a point-in-time handle is
         a plain read of that file; its data files remain valid until a
         vacuum below the retention window removes superseded ones)."""
+        fs = meta_fs or LocalMetaFS()
         snap_dir = os.path.join(path, _SNAP_DIR)
         if version is None:
-            version = _latest_version(snap_dir)
+            version = _latest_version(snap_dir, fs)
             if version is None:
                 raise FileNotFoundError(f"no snapshots under {snap_dir}")
         snap_file = os.path.join(snap_dir, _snap_name(version))
-        if not os.path.exists(snap_file):
+        if not fs.exists(snap_file):
             raise FileNotFoundError(
                 f"snapshot v{version} not found under {snap_dir}"
             )
-        with open(snap_file) as f:
-            return cls(spark, path, json.load(f))
+        return cls(spark, path, json.loads(fs.read_text(snap_file)),
+                   meta_fs=fs)
 
     def history(self) -> list[dict]:
         """Retained snapshots, oldest first: version, commit summary —
         the Iceberg `table.history()` analog, driver-side metadata only."""
         snap_dir = os.path.join(self.path, _SNAP_DIR)
         out = []
-        for fn in sorted(os.listdir(snap_dir)):
+        for fn in sorted(self.fs.listdir(snap_dir)):
             if not (fn.startswith("v") and fn.endswith(".json")):
                 continue
-            with open(os.path.join(snap_dir, fn)) as f:
-                s = _normalize_snap(json.load(f))
+            s = _normalize_snap(
+                json.loads(self.fs.read_text(os.path.join(snap_dir, fn)))
+            )
             last = s["manifests"][-1] if s["manifests"] else None
             out.append({
                 "version": s["version"],
@@ -489,7 +500,10 @@ class LakehouseTable:
             if m["delta_files"]
         ]
         files = [p for m in rows for p in m["delta_files"]]
-        missing = [p for p in files if not os.path.exists(os.path.join(self.path, p))]
+        missing = [
+            p for p in files
+            if not self.fs.exists(os.path.join(self.path, p))
+        ]
         if missing:
             raise FileNotFoundError(
                 f"incremental window closed: {len(missing)} delta file(s) "
@@ -498,7 +512,7 @@ class LakehouseTable:
         return self._raw(self._abs(files))
 
     def refresh(self) -> "LakehouseTable":
-        return LakehouseTable.load(self.spark, self.path)
+        return LakehouseTable.load(self.spark, self.path, meta_fs=self.fs)
 
     # ------------------------------------------------------------------
     # reads
@@ -1438,7 +1452,7 @@ class LakehouseTable:
         if m.get("data_hash") is None:
             return None  # no-op gap batch: nothing to verify (ADVICE.md)
         files = self._abs(m.get("delta_files") or [])
-        if not files or not all(os.path.exists(f) for f in files):
+        if not files or not all(self.fs.exists(f) for f in files):
             return None
         got = (
             self._raw(files)
@@ -1626,10 +1640,12 @@ class LakehouseTable:
             b: old_lrefs[b] for b in nl if b in old_lrefs and b not in changed_l
         }
         if changed_b or changed_l:
-            os.makedirs(os.path.join(self.path, _FILELIST_DIR), exist_ok=True)
+            self.fs.makedirs(os.path.join(self.path, _FILELIST_DIR))
             rel = os.path.join(_FILELIST_DIR, f"f-{uuid.uuid4().hex}.json")
-            with open(os.path.join(self.path, rel), "w") as f:
-                json.dump({"buckets": changed_b, "l1": changed_l}, f)
+            self.fs.write_text(
+                os.path.join(self.path, rel),
+                json.dumps({"buckets": changed_b, "l1": changed_l}),
+            )
             for b in changed_b:
                 brefs[b] = rel
             for b in changed_l:
@@ -1640,7 +1656,9 @@ class LakehouseTable:
         """Write sidecar refs for changed buckets, then atomically commit
         the snapshot (inline lists stay in memory only)."""
         self._write_filelist_refs(new_snap)
-        _commit_snapshot(os.path.join(self.path, _SNAP_DIR), new_snap)
+        _commit_snapshot(
+            os.path.join(self.path, _SNAP_DIR), new_snap, self.fs
+        )
         self._snap = new_snap
 
     def _commit(
@@ -1882,13 +1900,12 @@ class LakehouseTable:
         data directory.  ``tolerant`` skips sidecars that are already
         gone (expired snapshots being torn down)."""
         snap_file = os.path.join(self.path, _SNAP_DIR, _snap_name(version))
-        with open(snap_file) as f:
-            s = _normalize_snap(json.load(f))
+        s = _normalize_snap(json.loads(self.fs.read_text(snap_file)))
         aux = set(s.get("manifest_spill", []))
         aux |= set((s.get("buckets_ref") or {}).values())
         aux |= set((s.get("l1_ref") or {}).values())
         try:
-            _resolve_filelists(self.path, s)
+            _resolve_filelists(self.path, s, self.fs)
         except FileNotFoundError:
             if not tolerant:
                 raise
@@ -1923,7 +1940,7 @@ class LakehouseTable:
         snap_dir = os.path.join(self.path, _SNAP_DIR)
         versions = sorted(
             int(f[1:-5])
-            for f in os.listdir(snap_dir)
+            for f in self.fs.listdir(snap_dir)
             if f.startswith("v") and f.endswith(".json")
         )
         retain_last = max(1, retain_last)
@@ -1943,12 +1960,12 @@ class LakehouseTable:
         for rel in sorted(dead - live):
             p = os.path.join(self.path, rel)
             try:
-                os.unlink(p)
+                self.fs.delete(p)
                 removed += 1
             except FileNotFoundError:
                 pass
         for v in expired:
-            os.unlink(os.path.join(snap_dir, _snap_name(v)))
+            self.fs.delete(os.path.join(snap_dir, _snap_name(v)))
         return {"snapshots_expired": len(expired), "files_removed": removed}
 
     def vacuum(self, grace_secs: float = 3600.0) -> int:
@@ -1972,7 +1989,7 @@ class LakehouseTable:
         be active."""
         snap_dir = os.path.join(self.path, _SNAP_DIR)
         live: set[str] = set()
-        for fn in os.listdir(snap_dir):
+        for fn in self.fs.listdir(snap_dir):
             if fn.startswith("v") and fn.endswith(".json"):
                 data, aux = self._snapshot_file_refs(int(fn[1:-5]))
                 live |= data | aux
@@ -2049,38 +2066,32 @@ def _snap_name(v: int) -> str:
     return f"v{v:012d}.json"
 
 
-def _latest_version(snap_dir: str) -> int | None:
-    try:
-        versions = [
-            int(f[1:-5]) for f in os.listdir(snap_dir)
-            if f.startswith("v") and f.endswith(".json")
-        ]
-    except FileNotFoundError:
-        return None
+def _latest_version(snap_dir: str, fs: MetaFS | None = None) -> int | None:
+    fs = fs or LocalMetaFS()
+    versions = [
+        int(f[1:-5]) for f in fs.listdir(snap_dir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
     return max(versions) if versions else None
 
 
-def _commit_snapshot(snap_dir: str, snap: dict) -> None:
-    """Atomic, conflict-detecting publish: write temp, hard-link to the
-    final name (link(2) fails with EEXIST if another writer won — the
-    optimistic-concurrency check), unlink temp."""
+def _commit_snapshot(
+    snap_dir: str, snap: dict, fs: MetaFS | None = None
+) -> None:
+    """Atomic, conflict-detecting publish via the control-plane FS's
+    put-if-absent (LocalMetaFS: write temp + hard-link — link(2) fails
+    with EEXIST if another writer won the version; remote impls map to
+    their store's conditional put)."""
+    fs = fs or LocalMetaFS()
     final = os.path.join(snap_dir, _snap_name(snap["version"]))
     to_write = snap
     if snap.get("buckets_ref") is not None or snap.get("l1_ref") is not None:
         # ref-based layout: the inline buckets/l1 maps are in-memory
         # working state only — the durable form is the sidecar refs
         to_write = {k: v for k, v in snap.items() if k not in ("buckets", "l1")}
-    fd, tmp = tempfile.mkstemp(dir=snap_dir, suffix=".tmp")
     try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(to_write, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, final)
-        except FileExistsError as e:
-            raise SnapshotConflict(
-                f"snapshot conflict: {final} already committed by a concurrent writer"
-            ) from e
-    finally:
-        os.unlink(tmp)
+        fs.create_exclusive(final, json.dumps(to_write))
+    except FileExistsError as e:
+        raise SnapshotConflict(
+            f"snapshot conflict: {final} already committed by a concurrent writer"
+        ) from e
