@@ -128,6 +128,8 @@ def main(argv: list[str] | None = None) -> int:
 
     hi = sub.add_parser("history", help="list retained snapshots")
     hi.add_argument("--table", required=True)
+    hi.add_argument("--limit", type=int, default=None,
+                    help="newest N snapshots only (O(N) metadata reads)")
     hi.add_argument("--master", default=None)
 
     ch = sub.add_parser("changes", help="incremental change feed between "
@@ -424,7 +426,7 @@ def main(argv: list[str] | None = None) -> int:
         from dlt_spark.lakehouse import LakehouseTable
 
         t = LakehouseTable.load(spark, args.table)
-        for row in t.history():
+        for row in t.history(limit=args.limit):
             print(json.dumps(row))
         return 0
 

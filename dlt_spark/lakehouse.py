@@ -294,6 +294,13 @@ def _normalize_snap(snap: dict) -> dict:
                 (k if ":" in k else _bkey(m, int(k))): v for k, v in mp.items()
             }
     snap.setdefault("manifest_spill", [])
+    # pre-round-5 spill entries are bare rel paths; upgrade to
+    # version-indexed entries so changes_between can prune FILES
+    sp = snap["manifest_spill"]
+    if sp and isinstance(sp[0], str):
+        snap["manifest_spill"] = [
+            {"path": p, "v_min": None, "v_max": None} for p in sp
+        ]
     snap.setdefault("superseded", {})
     snap.setdefault("renames", {})
     snap.setdefault("markers", [])  # cascade equality-delete markers
@@ -416,7 +423,7 @@ class LakehouseTable:
             # {job_id: [[batch_lo, batch_hi], …]} — compressed applied set
             "applied": {},
             "manifests": [],  # retained tail, rows per MANIFEST_SCHEMA
-            "manifest_spill": [],  # parquet sidecar rel paths (older rows)
+            "manifest_spill": [],  # [{path, v_min, v_max}] spill sidecars
             "watermark": -1,  # highest seq_to applied
             # per-bucket file-list sidecar refs ({} = ref-based layout;
             # the on-disk snapshot never inlines buckets/l1 lists)
@@ -450,14 +457,21 @@ class LakehouseTable:
         return cls(spark, path, json.loads(fs.read_text(snap_file)),
                    meta_fs=fs)
 
-    def history(self) -> list[dict]:
+    def history(self, limit: int | None = None) -> list[dict]:
         """Retained snapshots, oldest first: version, commit summary —
-        the Iceberg `table.history()` analog, driver-side metadata only."""
+        the Iceberg `table.history()` analog, driver-side metadata only.
+        ``limit`` bounds the walk to the NEWEST N snapshots (the listing
+        is names-only; JSON reads are O(limit), so a 10^5-commit table
+        answers `history --limit 20` without reading 10^5 files)."""
         snap_dir = os.path.join(self.path, _SNAP_DIR)
+        names = sorted(
+            fn for fn in self.fs.listdir(snap_dir)
+            if fn.startswith("v") and fn.endswith(".json")
+        )
+        if limit is not None:
+            names = names[-max(0, limit):]
         out = []
-        for fn in sorted(self.fs.listdir(snap_dir)):
-            if not (fn.startswith("v") and fn.endswith(".json")):
-                continue
+        for fn in names:
             s = _normalize_snap(
                 json.loads(self.fs.read_text(os.path.join(snap_dir, fn)))
             )
@@ -490,7 +504,7 @@ class LakehouseTable:
         # asked about (VERDICT r3 minor-#4)
         rows = [
             m
-            for m in self.manifests_df()
+            for m in self.manifests_df(from_version, to_version)
             .where(
                 (F.col("snapshot_version") > from_version)
                 & (F.col("snapshot_version") <= to_version)
@@ -862,20 +876,40 @@ class LakehouseTable:
         winners = self._resolve(touched.unionByName(pending))
         return untouched.unionByName(winners.select(*untouched.columns))
 
-    def manifests_df(self) -> DataFrame:
+    def manifests_df(
+        self,
+        from_version: int | None = None,
+        to_version: int | None = None,
+    ) -> DataFrame:
         """All manifest rows: the retained in-snapshot tail plus any
         spilled Parquet sidecars (lineage survives the spill).  Spilled
         rows superseded by a forced re-apply (the replacement landed in
         a later snapshot; sidecars are immutable) are filtered out here
         so (job_id, batch_id) stays unique across the union (ADVICE.md:
         a duplicate row fed stale delta files to changes_between and
-        double-counted lineage)."""
+        double-counted lineage).
+
+        ``from_version``/``to_version`` (exclusive/inclusive, matching
+        changes_between) PRUNE whole sidecars by their recorded
+        [v_min, v_max] index before any file opens — the caller must
+        still row-filter, this only guarantees every in-window row is
+        present.  Legacy entries without a range are always read."""
         tail = self.spark.createDataFrame(self._snap["manifests"], MANIFEST_SCHEMA)
         spill = self._snap.get("manifest_spill", [])
+        if from_version is not None or to_version is not None:
+            spill = [
+                e for e in spill
+                if e.get("v_min") is None
+                or e.get("v_max") is None
+                or (
+                    (to_version is None or e["v_min"] <= to_version)
+                    and (from_version is None or e["v_max"] > from_version)
+                )
+            ]
         if not spill:
             return tail
         spilled = self.spark.read.schema(MANIFEST_SCHEMA).parquet(
-            *self._abs(spill)
+            *self._abs([e["path"] for e in spill])
         )
         superseded = self._snap.get("superseded", {})
         if superseded:
@@ -1572,11 +1606,15 @@ class LakehouseTable:
         )
         return manifest
 
-    def _spill_manifests(self, manifests: list[dict]) -> tuple[list[dict], list[str]]:
+    def _spill_manifests(self, manifests: list[dict]) -> tuple[list[dict], list[dict]]:
         """Keep the snapshot O(tail): once the inline manifest list
         exceeds 2×MANIFEST_TAIL, write all but the newest MANIFEST_TAIL
         rows to a Parquet sidecar (driver-side pyarrow — rows are tiny
-        metadata, no Spark job).  Returns (retained tail, spill paths)."""
+        metadata, no Spark job).  Each spill entry records the sidecar's
+        [v_min, v_max] snapshot-version range (VERDICT r4 next-#6), so
+        a CDC-out window seek opens only the sidecars that intersect the
+        window — O(window), not O(commits), on a long-lived table.
+        Returns (retained tail, spill entries)."""
         spill = list(self._snap.get("manifest_spill", []))
         if len(manifests) <= 2 * MANIFEST_TAIL:
             return manifests, spill
@@ -1609,7 +1647,10 @@ class LakehouseTable:
         pq.write_table(
             pa.table(cols, schema=schema), os.path.join(self.path, rel)
         )
-        return tail, spill + [rel]
+        vs = [int(m["snapshot_version"]) for m in to_spill]
+        return tail, spill + [
+            {"path": rel, "v_min": min(vs), "v_max": max(vs)}
+        ]
 
     def _write_filelist_refs(self, new_snap: dict) -> None:
         """Point each bucket's file-list at a sidecar: unchanged buckets
@@ -1901,7 +1942,7 @@ class LakehouseTable:
         gone (expired snapshots being torn down)."""
         snap_file = os.path.join(self.path, _SNAP_DIR, _snap_name(version))
         s = _normalize_snap(json.loads(self.fs.read_text(snap_file)))
-        aux = set(s.get("manifest_spill", []))
+        aux = {e["path"] for e in s.get("manifest_spill", [])}
         aux |= set((s.get("buckets_ref") or {}).values())
         aux |= set((s.get("l1_ref") or {}).values())
         try:

@@ -401,3 +401,55 @@ def test_compact_pins_one_snapshot_vs_concurrent_fold(spark, tmp_path):
     # and published v+2 with no error.)
     with pytest.raises(SnapshotConflict):
         stale.compact()
+
+
+def test_manifest_spill_version_index_prunes_files(spark, tmp_path):
+    """VERDICT r4 next-#6: each manifest spill sidecar records its
+    [v_min, v_max] snapshot-version range, and a changes_between window
+    seek opens ONLY the sidecars intersecting the window — O(window)
+    driver metadata on a 10^4-commit table, not O(commits).  Synthesize
+    10_000 commits' manifests through the real spill machinery and
+    assert the windowed scan's input files collapse."""
+    import os as _os
+
+    t = LakehouseTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    # one real delta file every manifest can reference
+    t.merge(_updates(spark, 0, 49), "seed", 0)
+    delta_files = t._snap["deltas"][0]["files"]
+
+    def mk(v):
+        return {
+            "job_id": "job", "batch_id": v, "seq_from": v * 10,
+            "seq_to": v * 10 + 9, "events_read": 10, "events_applied": 10,
+            "deletes_applied": 0, "min_doc_id": "a", "max_doc_id": "z",
+            "committed_at": "2026-08-17T00:00:00+00:00",
+            "snapshot_version": v, "data_hash": v,
+            "delta_files": list(delta_files),
+        }
+
+    # feed 10_000 manifests through the real spill path in commit-order
+    tail, spill = [], list(t._snap["manifest_spill"])
+    for v in range(1, 10_001):
+        tail.append(mk(v))
+        t._snap["manifest_spill"] = spill
+        tail, spill = t._spill_manifests(tail)
+    t._snap["manifests"] = tail
+    t._snap["manifest_spill"] = spill
+
+    assert len(spill) > 100  # ~150 sidecars at tail=64
+    assert all(e["v_min"] <= e["v_max"] for e in spill)
+
+    all_files = set(t.manifests_df().inputFiles())
+    win_files = set(t.manifests_df(9_900, 10_000).inputFiles())
+    assert len(all_files) > 100
+    assert len(win_files) <= 3, f"window opened {len(win_files)} sidecars"
+
+    # the windowed feed itself is correct: exactly the window's commits
+    ch = t.changes_between(9_990, 10_000)
+    assert ch.count() == 10 * t._snap["deltas"][0]["rows"]
+
+    # legacy (un-indexed) entries are still read — no silent row loss
+    t._snap["manifest_spill"] = [
+        {"path": e["path"], "v_min": None, "v_max": None} for e in spill
+    ]
+    assert set(t.manifests_df(9_900, 10_000).inputFiles()) == all_files
