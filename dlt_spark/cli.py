@@ -55,6 +55,50 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--master", default=None, help="spark master override")
 
 
+_CONFIG_TEMPLATE = """\
+# --- dlt-spark configuration (utils/config_template.yml analog) ---
+
+# Optional named storage roots: any --log/--table of the form
+# name://rest resolves to ROOT/rest; hadoop_conf entries are applied
+# to the Spark session before reads (s3a credentials, endpoints, ...).
+#providers:
+#  - name: warm
+#    root: /lake/warm
+#  - name: cold
+#    root: s3a://archive/lake
+#    hadoop_conf:
+#      fs.s3a.endpoint: https://storage.example
+
+# A source is a change log to load from.
+sources:
+  - name: mainlog
+    log: /data/changelog
+    # schema adapter: tokens (default) | height | exploded |
+    # exploded_cascade  (loader/setup.go:68-78 analog)
+    schema: tokens
+    log_part_width: 100000
+
+# A destination is a lakehouse table to load into.
+destinations:
+  - name: lake
+    table: /data/lake/table
+    n_buckets: 64
+
+# A connection wires a source to a destination; `dlt-spark sync-daemon`
+# drives every connection on its own schedule.
+connections:
+  - name: prod
+    source: mainlog
+    destination: lake
+    batch_width: 1000000
+    max_inflight: 4
+    # either a polling interval...
+    interval_secs: 5.0
+    # ...or a 5-field cron expression (wins over interval when set)
+    #cron: "*/5 * * * *"
+"""
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dlt-spark")
     ap.add_argument(
@@ -67,6 +111,15 @@ def main(argv: list[str] | None = None) -> int:
              "providers: section.",
     )
     sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ini = sub.add_parser(
+        "init",
+        help="write a commented config template (the reference's "
+             "`dlt init` / utils/config_template.yml analog)",
+    )
+    ini.add_argument("--out", default="dlt_spark.yml",
+                     help="where to write the template (refuses to "
+                          "overwrite an existing file)")
 
     g = sub.add_parser("gen", help="generate a deterministic change log")
     g.add_argument("--out", required=True)
@@ -84,6 +137,11 @@ def main(argv: list[str] | None = None) -> int:
     l.add_argument("--to-seq", type=int, default=None)
     l.add_argument("--force", action="store_true",
                    help="re-apply below the watermark (safe: idempotent)")
+    l.add_argument("--yes", "-y", action="store_true",
+                   help="skip the interactive confirm a --force replay "
+                        "asks for on a terminal (loader/service.go:52-64 "
+                        "analog); non-interactive runs proceed with a "
+                        "printed notice")
     l.add_argument("--verbose", action="store_true")
     l.add_argument("--cascade-mode", default="eager",
                    choices=("eager", "markers"),
@@ -257,6 +315,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd in ("load", "sync") and not (args.log and args.table):
         ap.error("provide --log/--table or --config/--connection")
 
+    if args.cmd == "init":
+        import os as _os
+
+        if _os.path.exists(args.out):
+            print(json.dumps({
+                "error": f"{args.out} already exists; refusing to overwrite",
+            }))
+            return 1
+        with open(args.out, "w") as f:
+            f.write(_CONFIG_TEMPLATE)
+        print(json.dumps({"written": args.out}))
+        return 0
+
     if args.cmd == "conn":
         from dlt_spark.config import all_connections, load_config
 
@@ -296,6 +367,27 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "load":
         from dlt_spark.events import EventLog
         from dlt_spark.plans.runner import run_incremental
+
+        if args.force and not args.yes:
+            # the reference gates replays behind an interactive confirm
+            # unless -y (loader/service.go:52-64, utils/prompt.go).  A
+            # forced replay here is idempotent, but it re-reads and
+            # re-writes the whole range — gate it the same way on a
+            # terminal; non-interactive runs (CI, cron) proceed with a
+            # notice so existing pipelines keep working.
+            rng = (f"seq [{args.from_seq if args.from_seq is not None else 0}"
+                   f", {args.to_seq if args.to_seq is not None else 'end'}]")
+            if sys.stdin.isatty():
+                answer = input(
+                    f"[dlt] force re-apply {rng} of {args.table}? [y/N]: "
+                )
+                if answer.strip().lower() != "y":
+                    print(json.dumps({"aborted": True}))
+                    return 1
+            else:
+                print(json.dumps(
+                    {"notice": f"--force without --yes (non-interactive): "
+                               f"re-applying {rng}"}), file=sys.stderr)
 
         ev = EventLog(args.events_file)
         ev.sync_started(args.schema, args.table, args.from_seq, args.to_seq,

@@ -77,3 +77,58 @@ def test_cli_provider_end_to_end(spark, tmp_path, capsys):
     ]) == 0
     st = json.loads(capsys.readouterr().out)  # status pretty-prints JSON
     assert st["watermark"] == 1999
+
+
+def test_cli_init_writes_loadable_template(tmp_path, capsys):
+    """`init` (the reference's `dlt init` / utils/config_template.yml
+    analog) writes a commented template that load_config parses, and
+    refuses to overwrite an existing file."""
+    from dlt_spark.cli import main
+    from dlt_spark.config import load_config
+
+    out = str(tmp_path / "dlt_spark.yml")
+    assert main(["init", "--out", out]) == 0
+    cfg = load_config(out)
+    assert [s.name for s in cfg.sources] == ["mainlog"]
+    assert [c.name for c in cfg.connections] == ["prod"]
+    assert main(["init", "--out", out]) == 1  # refuses to overwrite
+    assert "refusing to overwrite" in capsys.readouterr().out
+
+
+def test_cli_force_confirm_gate(spark, tmp_path, capsys, monkeypatch):
+    """A --force replay on a terminal asks for confirmation unless
+    --yes (loader/service.go:52-64 analog): 'n' aborts before any
+    Spark work, 'y' proceeds; --yes skips the prompt; non-interactive
+    runs proceed with a notice (existing pipelines keep working)."""
+    import sys as _sys
+
+    from dlt_spark.cli import main
+
+    log, tbl = str(tmp_path / "log"), str(tmp_path / "tbl")
+    common = ["--batch-width", "1000", "--n-buckets", "8",
+              "--log-part-width", "1000"]
+    assert main(["gen", "--out", log, "--events", "2000",
+                 "--part-width", "1000"]) == 0
+    assert main(["load", "--log", log, "--table", tbl, *common]) == 0
+
+    monkeypatch.setattr(_sys.stdin, "isatty", lambda: True)
+    monkeypatch.setattr("builtins.input", lambda *_: "n")
+    assert main(["load", "--log", log, "--table", tbl, "--force",
+                 "--from-seq", "0", "--to-seq", "999", *common]) == 1
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    ) == {"aborted": True}
+
+    monkeypatch.setattr("builtins.input", lambda *_: "y")
+    assert main(["load", "--log", log, "--table", tbl, "--force",
+                 "--from-seq", "0", "--to-seq", "999", *common]) == 0
+    # --yes never prompts
+    monkeypatch.setattr("builtins.input",
+                        lambda *_: (_ for _ in ()).throw(AssertionError))
+    assert main(["load", "--log", log, "--table", tbl, "--force", "--yes",
+                 "--from-seq", "0", "--to-seq", "999", *common]) == 0
+    # non-interactive: proceeds with a stderr notice
+    monkeypatch.setattr(_sys.stdin, "isatty", lambda: False)
+    assert main(["load", "--log", log, "--table", tbl, "--force",
+                 "--from-seq", "0", "--to-seq", "999", *common]) == 0
+    assert "non-interactive" in capsys.readouterr().err
