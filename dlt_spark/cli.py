@@ -172,6 +172,10 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--max-rounds", type=int, default=0,
                     help="stop after each connection ran this many times "
                          "(0 = forever)")
+    sd.add_argument("--metrics-port", type=int, default=None,
+                    help="serve live Prometheus metrics at "
+                         "http://127.0.0.1:PORT/metrics while the daemon "
+                         "runs (utils/prometheus.go analog); 0 = ephemeral")
     sd.add_argument("--metrics-dir", default=None,
                     help="write one textfile-collector .prom per "
                          "connection here")
@@ -441,15 +445,29 @@ def main(argv: list[str] | None = None) -> int:
                 "events_per_sec": round(res.events_per_sec, 1),
             }), flush=True)
 
-        summary = run_sync_daemon(
-            spark, load_config(args.config),
-            connection_names=args.connection or None,
-            stop_requested=lambda: stop["n"] > 0,
-            max_runs_per_connection=args.max_rounds,
-            events_file=args.events_file,
-            metrics_dir=args.metrics_dir,
-            on_round=_print_round,
-        )
+        server = None
+        if args.metrics_port is not None:
+            from dlt_spark.metrics import MetricsHTTPServer
+
+            server = MetricsHTTPServer(port=args.metrics_port)
+            port = server.start()
+            print(json.dumps(
+                {"metrics_endpoint": f"http://127.0.0.1:{port}/metrics"}),
+                flush=True)
+        try:
+            summary = run_sync_daemon(
+                spark, load_config(args.config),
+                connection_names=args.connection or None,
+                stop_requested=lambda: stop["n"] > 0,
+                max_runs_per_connection=args.max_rounds,
+                events_file=args.events_file,
+                metrics_dir=args.metrics_dir,
+                metrics_server=server,
+                on_round=_print_round,
+            )
+        finally:
+            if server is not None:
+                server.stop()
         print(json.dumps({"shutdown": "clean", "connections": summary}),
               flush=True)
         return 0

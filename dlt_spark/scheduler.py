@@ -117,6 +117,7 @@ def run_sync_daemon(
     tick_secs: float = 0.25,
     events_file: str | None = None,
     metrics_dir: str | None = None,
+    metrics_server=None,
     on_round=None,
 ) -> dict[str, dict]:
     """Drive every (or the named) connection until stopped.
@@ -128,6 +129,10 @@ def run_sync_daemon(
       run that many times (tests / bounded catch-ups).
     - ``metrics_dir``: one textfile-collector .prom file per connection
       (``<dir>/<name>.prom``) — per-connection counters, one scrape dir.
+    - ``metrics_server``: a started ``metrics.MetricsHTTPServer``; the
+      daemon registers one writer per connection on it, so ``GET
+      /metrics`` serves live counters (utils/prometheus.go analog).
+      Composes with ``metrics_dir`` (same writers publish both ways).
     - ``on_round`` (callable(name, RunResult)): per-run hook (the CLI
       prints a JSON line from it).
 
@@ -145,15 +150,20 @@ def run_sync_daemon(
 
     state: dict[str, _ConnState] = {c.name: _ConnState() for c in conns}
     metrics: dict[str, MetricsWriter] = {}
-    if metrics_dir:
+    if metrics_dir or metrics_server is not None:
         import os
 
         metrics = {
             c.name: MetricsWriter(
-                os.path.join(metrics_dir, f"{c.name}.prom"), job_id=c.name
+                os.path.join(metrics_dir, f"{c.name}.prom")
+                if metrics_dir else None,
+                job_id=c.name,
             )
             for c in conns
         }
+        if metrics_server is not None:
+            for w in metrics.values():
+                metrics_server.register(w)
     ev = EventLog(events_file)
 
     def _due(conn, st: _ConnState) -> bool:

@@ -190,3 +190,44 @@ def test_cron_due_missed_minute_fires_late():
     st2 = _ConnState()
     st2.last_cron_check = M - 7 * 1440
     assert cron_due(cron, st2, M * 60)  # still finds a match inside the day
+
+
+def test_metrics_http_server_serves_exposition(spark, tmp_path):
+    """Optional /metrics scrape endpoint (utils/prometheus.go:34-68
+    analog): the daemon registers one writer per connection; GET
+    /metrics returns every connection's current counters in the
+    Prometheus text format; other paths 404."""
+    import urllib.request
+
+    from dlt_spark.metrics import MetricsHTTPServer
+    from dlt_spark.sources.changelog import write_change_log
+    from dlt_spark.sources.generator import generate_change_log
+
+    log = str(tmp_path / "log")
+    write_change_log(generate_change_log(spark, 400, n_keys=50, seed=9),
+                     log, part_width=200)
+    cfg = Config(
+        sources=[SourceCfg(name="s", log=log, log_part_width=200)],
+        destinations=[DestinationCfg(name="d", table=str(tmp_path / "t"),
+                                     n_buckets=4)],
+        connections=[ConnectionCfg(name="c", source="s", destination="d",
+                                   batch_width=200, interval_secs=0.0)],
+    )
+    server = MetricsHTTPServer(port=0)
+    port = server.start()
+    try:
+        run_sync_daemon(spark, cfg, max_runs_per_connection=1,
+                        metrics_server=server)
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=5
+        ).read().decode()
+        assert 'dlt_events_read_total{job_id="c"}' in body
+        assert "dlt_watermark" in body and "# TYPE" in body
+        import pytest as _pytest
+        import urllib.error
+
+        with _pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/nope", timeout=5)
+    finally:
+        server.stop()
