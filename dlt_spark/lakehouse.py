@@ -956,6 +956,7 @@ class LakehouseTable:
         seq_to: int | None = None,
         events_read: int | None = None,
         force: bool = False,
+        markers_delta: dict | None = None,
     ) -> dict:
         """Apply a deduped update set (unique doc_id; columns doc_id, op,
         tokens, n_tok, source, commit_seq, optional _n_events) exactly
@@ -982,6 +983,10 @@ class LakehouseTable:
         if self.is_applied(job_id, batch_id) and not force:
             return self._find_manifest(job_id, batch_id)
         prepared = self.prepare_delta(updates, job_id, batch_id)
+        if markers_delta is not None:
+            # cascade equality-delete markers (opt-in mode) ride the
+            # same atomic commit — see prepare_markers
+            prepared["markers_delta"] = markers_delta
         return self.commit_delta(
             prepared, job_id, batch_id, seq_from, seq_to, events_read, force
         )

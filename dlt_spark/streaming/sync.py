@@ -52,6 +52,7 @@ def run_stream_sync(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     timeout_secs: float | None = None,
+    cascade_mode: str = "eager",
 ) -> LakehouseTable:
     """Drain the change log into the table via Structured Streaming.
 
@@ -60,7 +61,14 @@ def run_stream_sync(
     selects the SchemaAdapter (same switch as the batch runner); epochs
     are file-grained so cascade adapters (which must observe the prior
     commit) are safe here too — foreachBatch epochs are strictly serial.
+    ``cascade_mode`` mirrors the batch runner: "markers" records
+    equality-delete markers per epoch instead of eager child tombstones
+    (same opt-in CDC-out trade-off; see runner.run_incremental).
     """
+    if cascade_mode not in ("eager", "markers"):
+        raise ValueError(
+            f"cascade_mode must be 'eager' or 'markers', got {cascade_mode!r}"
+        )
     adapter = get_adapter(schema)
     table = LakehouseTable.create(
         spark, table_path, n_buckets=n_buckets,
@@ -79,10 +87,26 @@ def run_stream_sync(
         if t.is_applied(job_id, epoch_id):
             return  # checkpoint replay of an already-committed epoch
         normalized = adapter.normalize(batch_df, use_arrow_udf=use_arrow_udf)
-        if hasattr(adapter, "expand_deletes"):
+        markers_delta = None
+        cascading = getattr(adapter, "cascade_deletes", False)
+        if cascading and cascade_mode == "markers":
+            from pyspark.sql import functions as F
+
+            dels = (
+                normalized.where(F.col("op") == "D")
+                .select(
+                    F.col("parent_doc_id").alias("p"),
+                    F.col("commit_seq").alias("del_seq"),
+                    F.col("source").alias("del_source"),
+                )
+                .distinct()
+            )
+            markers_delta = t.prepare_markers(dels)
+        elif hasattr(adapter, "expand_deletes"):
             normalized = adapter.expand_deletes(normalized, t)
         updates = dedup_lww(normalized, with_counts=True)
-        t.merge(updates, job_id=job_id, batch_id=epoch_id)
+        t.merge(updates, job_id=job_id, batch_id=epoch_id,
+                markers_delta=markers_delta)
 
     writer = events.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_path

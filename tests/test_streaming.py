@@ -239,3 +239,51 @@ def test_stream_changes_tails_committed_windows(spark, tmp_path):
     assert windows[0] | windows[1] == key(t.changes_between(0, t.version))
     # the feed carries tombstones (deletes visible to downstream)
     assert any(d for _, _, d in windows[0] | windows[1])
+
+
+def test_stream_sync_cascade_markers_mode(spark, tmp_path):
+    """Marker mode through the STREAMING path mirrors the batch runner:
+    each epoch's parent deletes land as one marker delta riding the
+    epoch's atomic commit, the live state matches eager mode, and
+    materialize_markers converges the table to physical tombstones."""
+    from pyspark.sql import Row
+
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.schemas import CHANGE_EVENT_SCHEMA
+    from dlt_spark.sources.changelog import write_change_log
+
+    rows = [
+        Row(commit_seq=1, doc_id="p", op="I", tokens=None,
+            payload='{"block": [1], "txs": [[10], [20]]}',
+            payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=2, doc_id="q", op="I", tokens=None,
+            payload='{"block": [5], "txs": [[50]]}',
+            payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=3, doc_id="p", op="D", tokens=None,
+            payload=None, payload_version=1, source="s", extracted_at=None),
+        Row(commit_seq=4, doc_id="p", op="I", tokens=None,
+            payload='{"block": [9], "txs": [[11]]}',
+            payload_version=1, source="s", extracted_at=None),
+    ]
+    log = str(tmp_path / "log")
+    write_change_log(
+        spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA), log, part_width=2
+    )
+    table = run_stream_sync(
+        spark, log, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        schema="exploded_cascade", n_buckets=8, max_files_per_trigger=1,
+        cascade_mode="markers",
+    )
+    assert table._snap["markers"], "streaming marker mode recorded none"
+
+    def state(t):
+        return {
+            r["doc_id"]: tuple(r["tokens"] or []) for r in t.read().collect()
+        }
+
+    expected = {"p/block/0": (9,), "p/tx/0": (11,),
+                "q/block/0": (5,), "q/tx/0": (50,)}
+    assert state(table) == expected
+    table.materialize_markers()
+    assert table._snap["markers"] == []
+    assert state(table) == expected
