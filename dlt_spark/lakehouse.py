@@ -1213,7 +1213,9 @@ class LakehouseTable:
             .dropDuplicates(["doc_id"])
         )
         prepared = self.prepare_delta(upd, "_markers", snap["version"])
-        prepared["clear_markers"] = True
+        # clear exactly the entries this pass materialized; markers
+        # committed concurrently survive for the next pass
+        prepared["clear_markers"] = [p for e in entries for p in e["files"]]
         self.commit_delta(prepared, "_markers", snap["version"])
         n = (
             self.spark.read.parquet(*self._abs(files))
@@ -1330,7 +1332,17 @@ class LakehouseTable:
                 self._snap.get("markers", []) + [prepared["markers_delta"]]
             )
         if prepared.get("clear_markers"):
-            markers = []
+            # clear ONLY the entries the caller materialized (by path):
+            # a marker batch that committed concurrently between the
+            # materialize pin and this publish keeps its markers —
+            # wiping the whole list would silently drop its cascade
+            # deletes.  (The commit_delta conflict-retry loop re-reads
+            # self._snap, so this subtraction sees the latest list.)
+            done = set(prepared["clear_markers"])
+            markers = [
+                e for e in self._snap.get("markers", [])
+                if not set(e["files"]) <= done
+            ]
         stats = prepared["stats"]
         if stats is None or stats["n"] == 0:
             return self._commit_noop(job_id, batch_id, seq_from, seq_to,

@@ -633,3 +633,74 @@ def test_default_cascade_mode_cdc_out_carries_cascaded_children(spark, tmp_path)
     # children — this omission is WHY the mode is opt-in
     assert "p/tx/0" not in marked_dead and "p/tx/1" not in marked_dead
     assert "p/block/0" in marked_dead
+
+
+def test_materialize_markers_keeps_concurrent_markers(spark, tmp_path, monkeypatch):
+    """A marker batch that commits WHILE materialize_markers runs
+    (between its snapshot pin and its publish) must keep its markers:
+    the clear subtracts only the materialized entries by path, so the
+    concurrent delete still cascades at read time."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+
+    log = _cascade_log(spark, tmp_path)
+    tbl = str(tmp_path / "t")
+    run_incremental(spark, log, tbl, schema="exploded_cascade",
+                    batch_width=500, n_buckets=8, log_part_width=500,
+                    cascade_mode="markers")
+    a = LakehouseTable.load(spark, tbl)
+    old_entries = list(a._snap["markers"])
+    assert old_entries
+
+    # pick a live child doc and its parent for the concurrent delete
+    live = a.read().select("doc_id", "parent_doc_id", "_commit_seq").first()
+    victim_parent = live["parent_doc_id"]
+    wm = a.watermark()
+
+    committed = {"done": False}
+    orig_prepare = LakehouseTable.prepare_delta
+
+    def inject(self, updates, job_id, batch_id):
+        prepared = orig_prepare(self, updates, job_id, batch_id)
+        if job_id == "_markers" and not committed["done"]:
+            committed["done"] = True
+            # concurrent writer: ONE new marker batch lands after the
+            # materialize pass pinned its snapshot
+            b = LakehouseTable.load(spark, tbl)
+            md = b.prepare_markers([(victim_parent, wm + 1, "conc")])
+            from pyspark.sql import functions as F
+
+            upd = (
+                b.read(columns=["tokens", "n_tok", "kind", "array_index",
+                                "parent_doc_id"]).limit(0)
+                .select(
+                    "doc_id", F.lit("I").alias("op"), "tokens", "n_tok",
+                    F.lit("s").alias("source"),
+                    F.lit(wm + 1).alias("commit_seq"),
+                    "kind", "array_index", "parent_doc_id",
+                )
+            )
+            b.commit_delta(
+                dict(b.prepare_delta(upd, "conc", 0), markers_delta=md),
+                "conc", 0, seq_from=wm + 1, seq_to=wm + 1,
+            )
+        return prepared
+
+    monkeypatch.setattr(LakehouseTable, "prepare_delta", inject)
+    a.materialize_markers()
+    monkeypatch.setattr(LakehouseTable, "prepare_delta", orig_prepare)
+
+    final = LakehouseTable.load(spark, tbl)
+    remaining = final._snap["markers"]
+    # the pre-existing markers were materialized away; the CONCURRENT
+    # marker survived the clear
+    old_paths = {p for e in old_entries for p in e["files"]}
+    assert remaining and all(
+        set(e["files"]).isdisjoint(old_paths) for e in remaining
+    )
+    # and it still applies: every child of the victim parent is dead
+    alive = {
+        r["parent_doc_id"]
+        for r in final.read().select("parent_doc_id").distinct().collect()
+    }
+    assert victim_parent not in alive
