@@ -592,6 +592,9 @@ def main(argv: list[str] | None = None) -> int:
             "batches_applied": t.applied_count(),
             "manifest_tail": len(t._snap["manifests"]),
             "manifest_spill_files": len(t._snap.get("manifest_spill", [])),
+            "cascade_markers": sum(
+                e["rows"] or 0 for e in t._snap.get("markers", [])
+            ),
             "last_manifest": (t._snap["manifests"] or [None])[-1],
         }, indent=2))
         return 0
