@@ -96,6 +96,10 @@ connections:
     interval_secs: 5.0
     # ...or a 5-field cron expression (wins over interval when set)
     #cron: "*/5 * * * *"
+    # cascade deletes: eager (default) or opt-in equality-delete markers
+    #cascade_mode: markers
+    # every N runs: materialize markers + compact + expire + vacuum
+    #maintain_every_runs: 10
 """
 
 

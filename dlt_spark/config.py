@@ -60,6 +60,15 @@ class ConnectionCfg:
     # over the polling interval when set
     interval_secs: float = 5.0
     cron: str | None = None
+    # cascade-delete mode for this connection's runs: "eager" (default,
+    # CDC-out-complete child tombstones) or "markers" (opt-in
+    # equality-delete markers — see runner.run_incremental)
+    cascade_mode: str = "eager"
+    # every N completed runs the daemon performs a maintenance tick for
+    # this connection's table: materialize cascade markers (if any),
+    # compact, expire old snapshots, vacuum orphans.  0 = never (use
+    # the cron-able `maintain` CLI instead).
+    maintain_every_runs: int = 0
 
 
 @dataclass

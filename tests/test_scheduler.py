@@ -231,3 +231,62 @@ def test_metrics_http_server_serves_exposition(spark, tmp_path):
                 f"http://127.0.0.1:{port}/nope", timeout=5)
     finally:
         server.stop()
+
+
+def test_daemon_scheduled_maintenance_with_markers(spark, tmp_path):
+    """maintain_every_runs: every N completed runs the daemon
+    materializes cascade markers, compacts, expires and vacuums that
+    connection's table inside the single-flight loop — the periodic
+    convergence a marker-mode connection needs.  After the bounded
+    catch-up: zero pending markers, folded L0, state equal to an
+    eager-mode twin."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.schemas import CHANGE_EVENT_SCHEMA
+    from dlt_spark.sources.changelog import write_change_log
+    from dlt_spark.sources.generator import generate_change_log
+
+    n = 1_200
+    ev = generate_change_log(spark, n, n_keys=80, seed=21,
+                             version_mix=(1.0, 0.0, 0.0))
+    exp = ev.withColumn(
+        "payload",
+        F.when(F.col("op") != "D", F.to_json(F.struct(
+            F.slice(F.col("tokens"), 1, 3).alias("block"),
+            F.array(F.slice(F.col("tokens"), 4, 4)).alias("txs"),
+        ))),
+    ).withColumn("tokens", F.lit(None).cast("array<int>"))
+    log = str(tmp_path / "log")
+    write_change_log(exp, log, part_width=300)
+    tbl = str(tmp_path / "tbl")
+
+    cfg = Config(
+        sources=[SourceCfg(name="s", log=log, schema="exploded_cascade",
+                           log_part_width=300)],
+        destinations=[DestinationCfg(name="d", table=tbl, n_buckets=8)],
+        connections=[ConnectionCfg(name="c", source="s", destination="d",
+                                   batch_width=300, interval_secs=0.0,
+                                   cascade_mode="markers",
+                                   maintain_every_runs=1)],
+    )
+    summary = run_sync_daemon(spark, cfg, max_runs_per_connection=1)
+    assert summary["c"]["runs"] == 1
+
+    t = LakehouseTable.load(spark, tbl)
+    assert t._snap["markers"] == []          # materialized by the tick
+    assert t._snap["deltas"] == []           # compacted by the tick
+
+    eager = str(tmp_path / "eager")
+    run_incremental(spark, log, eager, schema="exploded_cascade",
+                    batch_width=300, n_buckets=8, log_part_width=300)
+
+    def state(p):
+        return sorted(
+            (r["doc_id"], r["_commit_seq"], tuple(r["tokens"] or []))
+            for r in LakehouseTable.load(spark, p).read().collect()
+        )
+
+    assert state(tbl) == state(eager)
