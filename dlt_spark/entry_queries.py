@@ -333,12 +333,18 @@ def q_cdc_exploded_adapter_final_state(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
-def q_cdc_exploded_cascade_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cdc_exploded_cascade_final_state(
+    spark: SparkSession, sf_dir: str, cascade_mode: str = "eager"
+) -> DataFrame:
     """Cascade document deletes on the exploded schema: a parent D event
     tombstones every child key the parent has (engine expands deletes
     against table state + in-batch history; LWW settles re-inserts).
     Final-state law the oracle mirrors: a child is live iff its newest
-    containing insert outranks every parent delete."""
+    containing insert outranks every parent delete.  ``cascade_mode``
+    selects eager tombstones or the opt-in equality-delete markers —
+    the SAME oracle validates both (identical final-state law; the
+    marker variant exercises the read-time marker application with the
+    markers still PENDING, i.e. before any materialize)."""
     from dlt_spark.lakehouse import LakehouseTable
     from dlt_spark.plans.runner import run_incremental
     from dlt_spark.sources.changelog import write_change_log
@@ -361,6 +367,7 @@ def q_cdc_exploded_cascade_final_state(spark: SparkSession, sf_dir: str) -> Data
     run_incremental(
         spark, log_path, tbl_path, schema="exploded_cascade",
         batch_width=1_000, n_buckets=8, log_part_width=1_000,
+        cascade_mode=cascade_mode,
     )
     t = LakehouseTable.load(spark, tbl_path)
     return t.read().select(
@@ -368,6 +375,17 @@ def q_cdc_exploded_cascade_final_state(spark: SparkSession, sf_dir: str) -> Data
         F.col("_commit_seq").alias("last_seq"),
         F.col("n_tok").cast("bigint").alias("n_tok"),
         F.array_join(F.col("tokens").cast("array<string>"), ",").alias("tokens_str"),
+    )
+
+
+def q_cdc_exploded_marker_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in equality-delete MARKER mode (r5) against the SAME oracle
+    as the eager cascade: the engine records (parent, del_seq) markers
+    at ingest and applies the max-marker-per-parent map at read time —
+    the DuckDB recursive final-state law must hold with the markers
+    still pending (no materialize ran)."""
+    return q_cdc_exploded_cascade_final_state(
+        spark, sf_dir, cascade_mode="markers"
     )
 
 
@@ -1224,6 +1242,7 @@ QUERIES = {
     "cdc_explode_provenance": q_cdc_explode_provenance,
     "cdc_exploded_adapter_final_state": q_cdc_exploded_adapter_final_state,
     "cdc_exploded_cascade_final_state": q_cdc_exploded_cascade_final_state,
+    "cdc_exploded_marker_final_state": q_cdc_exploded_marker_final_state,
     "cdc_widened_column_final_state": q_cdc_widened_column_final_state,
     "cdc_height_adapter": q_cdc_height_adapter,
     "cdc_hot_keys": q_cdc_hot_keys,
@@ -1411,6 +1430,10 @@ SELECT doc_id, kind, array_index, parent_doc_id,
 FROM ranked r LEFT JOIN del_max d ON r.parent_doc_id = d.p
 WHERE rn = 1 AND (d.dmax IS NULL OR r.commit_seq > d.dmax)
 """
+
+_ORACLES["cdc_exploded_marker_final_state"] = (
+    _ORACLES["cdc_exploded_cascade_final_state"]
+)
 
 _ORACLES["cdc_widened_column_final_state"] = f"""
 WITH ev AS (SELECT * FROM ({_EVENTS_DK}) WHERE commit_seq < 4000),
