@@ -704,3 +704,25 @@ def test_materialize_markers_keeps_concurrent_markers(spark, tmp_path, monkeypat
         for r in final.read().select("parent_doc_id").distinct().collect()
     }
     assert victim_parent not in alive
+
+
+def test_marker_read_plan_is_one_broadcast_join(spark, tmp_path):
+    """Plan lock: below MARKER_BROADCAST_ROWS the read-time marker
+    application is exactly ONE BroadcastHashJoin (LeftOuter, build on
+    the tiny max-marker-per-parent map) — never a sort-merge join, so
+    the 100 TB read plan gains no table-sized shuffle from markers."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+
+    log = _cascade_log(spark, tmp_path, n=1_500, seed=13)
+    tbl = str(tmp_path / "t")
+    run_incremental(spark, log, tbl, schema="exploded_cascade",
+                    batch_width=500, n_buckets=8, log_part_width=500,
+                    cascade_mode="markers")
+    t = LakehouseTable.load(spark, tbl)
+    assert t._snap["markers"]
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "LeftOuter" in plan
