@@ -469,7 +469,7 @@ class LakehouseTable:
             if fn.startswith("v") and fn.endswith(".json")
         )
         if limit is not None:
-            names = names[-max(0, limit):]
+            names = names[-limit:] if limit > 0 else []
         out = []
         for fn in names:
             s = _normalize_snap(
