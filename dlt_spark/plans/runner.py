@@ -30,11 +30,21 @@ from dlt_spark.operators.salt import salted_repartition
 from dlt_spark.sources.changelog import open_change_log, slice_change_log
 
 
-# Shared-candidate-snapshot bound: one materialized key-projected table
-# scan amortizes across at most this many batches; longer runs fall
-# back to per-batch pruned scans (the gap windows, which the shared
-# mode widens to (run-start, batch-start), stay O(this) deltas deep).
+# Shared-candidate-snapshot bounds: one materialized key-projected
+# table scan amortizes across at most this many batches; longer runs
+# fall back to per-batch pruned scans (the gap windows, which the
+# shared mode widens to (run-start, batch-start), stay O(this) deltas
+# deep).  The row floor makes engagement SCALE-CONDITIONAL: measured
+# at sf0.1 (~600k child rows, 8 delete batches, pre-loaded table) the
+# shared form is 1.05× the per-batch form — the upfront eager
+# localCheckpoint serializes ahead of the pipeline and the wider gaps
+# outweigh the saved scans when the scan is already tiny.  The
+# amortization only pays when N repeated scans of the table's key
+# projection dominate those fixed costs, i.e. on a LARGE table — the
+# 100 TB steady state the feature exists for.  Both shapes are locked
+# state-equivalent by test, so the switch is purely a cost choice.
 _SHARED_CAND_MAX_BATCHES = 16
+_SHARED_CAND_MIN_ROWS = 50_000_000
 
 
 @dataclass
@@ -465,10 +475,13 @@ def run_incremental(
     # is cheaper than an unpruned materialization).
     shared_wm: int | None = None
     shared_cand = None
+    _pend = table._pending()[1]
+    _table_rows = (table._snap.get("base_rows") or 0) + (_pend or 0)
     if (
         cascade_mode != "markers"
         and len(del_batches) >= 2
         and len(work) <= _SHARED_CAND_MAX_BATCHES
+        and _table_rows >= _SHARED_CAND_MIN_ROWS
     ):
         from pyspark.sql import functions as F
 

@@ -494,8 +494,11 @@ def test_shared_candidate_snapshot_equals_per_batch_path(spark, tmp_path, monkey
                         batch_width=500, n_buckets=8, log_part_width=500,
                         max_inflight=4)
 
+    # engagement is scale-conditional (row floor) — drop the floor so
+    # the fixture-sized table takes the shared path
+    monkeypatch.setattr(R, "_SHARED_CAND_MIN_ROWS", 0)
     shared = str(tmp_path / "shared")
-    load(shared)  # default: >=2 delete batches -> shared snapshot
+    load(shared)  # >=2 delete batches + floor met -> shared snapshot
 
     monkeypatch.setattr(R, "_SHARED_CAND_MAX_BATCHES", 0)  # force per-batch
     per_batch = str(tmp_path / "per_batch")
