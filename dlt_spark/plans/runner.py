@@ -34,17 +34,19 @@ from dlt_spark.sources.changelog import open_change_log, slice_change_log
 # table scan amortizes across at most this many batches; longer runs
 # fall back to per-batch pruned scans (the gap windows, which the
 # shared mode widens to (run-start, batch-start), stay O(this) deltas
-# deep).  The row floor makes engagement SCALE-CONDITIONAL: measured
-# at sf0.1 (~600k child rows, 8 delete batches, pre-loaded table) the
-# shared form is 1.05× the per-batch form — the upfront eager
-# localCheckpoint serializes ahead of the pipeline and the wider gaps
-# outweigh the saved scans when the scan is already tiny.  The
-# amortization only pays when N repeated scans of the table's key
-# projection dominate those fixed costs, i.e. on a LARGE table — the
-# 100 TB steady state the feature exists for.  Both shapes are locked
-# state-equivalent by test, so the switch is purely a cost choice.
+# deep).  The row floor makes engagement SCALE-CONDITIONAL — measured
+# crossover (pre-loaded table, 8 delete-bearing catch-up batches,
+# interleaved ×3, BENCH/BASELINE.md r5 addendum):
+#   ~0.6M table rows: shared 1.05× per-batch (the upfront eager
+#     localCheckpoint + wider phase-B gaps outweigh the tiny scans)
+#   ~1.2M table rows: shared 0.945× per-batch (the amortized scan
+#     starts paying)
+# so the floor sits at the crossover; above it the N repeated
+# key-projection scans dominate and the gap to per-batch widens with
+# table size.  Both shapes are locked state-equivalent by test, so the
+# switch is purely a cost choice.
 _SHARED_CAND_MAX_BATCHES = 16
-_SHARED_CAND_MIN_ROWS = 50_000_000
+_SHARED_CAND_MIN_ROWS = 1_000_000
 
 
 @dataclass
