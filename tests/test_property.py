@@ -156,3 +156,70 @@ def test_connected_components_matches_union_find(spark_global, edges):
         for r in connected_components(df).collect()
     }
     assert got == want
+
+
+@st.composite
+def cascade_logs(draw):
+    """Random parent-level I/U/D sequences over few parents with
+    distinct commit seqs — the shapes that stress cascade semantics
+    (delete-then-reinsert, delete-before-any-insert, repeat deletes)."""
+    n = draw(st.integers(min_value=2, max_value=12))
+    seqs = draw(
+        st.lists(st.integers(min_value=1, max_value=60),
+                 min_size=n, max_size=n, unique=True)
+    )
+    events = []
+    for i in range(n):
+        op = draw(OPS)
+        events.append(
+            {
+                "commit_seq": seqs[i],
+                "doc_id": draw(st.sampled_from(["p", "q"])),
+                "op": op,
+                "tokens": None,
+                "payload": (
+                    None if op == "D"
+                    else '{"block": [%d], "txs": [[%d], [%d]]}'
+                         % (seqs[i], seqs[i] + 1, seqs[i] + 2)
+                ),
+                "payload_version": 1,
+                "source": "s",
+                "extracted_at": None,
+            }
+        )
+    return events
+
+
+@settings(max_examples=8, deadline=None)
+@given(cascade_logs())
+def test_marker_mode_equals_eager_for_any_log(spark_global, tmp_path_factory, events):
+    """PROPERTY: for ANY parent-level op sequence, the marker-mode
+    engine's live read equals the eager-cascade engine's — before any
+    materialize (read-time marker application) AND after one
+    (physical tombstones)."""
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+
+    base = tmp_path_factory.mktemp("mkprop")
+    df = spark_global.createDataFrame(events, CHANGE_EVENT_SCHEMA)
+    log = str(base / "log")
+    write_change_log(df, log, part_width=8)
+
+    def state(tbl):
+        return sorted(
+            (r["doc_id"], r["_commit_seq"], tuple(r["tokens"] or []))
+            for r in LakehouseTable.load(spark_global, tbl).read().collect()
+        )
+
+    eager = str(base / "eager")
+    run_incremental(spark_global, log, eager, schema="exploded_cascade",
+                    batch_width=8, n_buckets=4, log_part_width=8)
+    marked = str(base / "marked")
+    run_incremental(spark_global, log, marked, schema="exploded_cascade",
+                    batch_width=8, n_buckets=4, log_part_width=8,
+                    cascade_mode="markers")
+    expected = state(eager)
+    assert state(marked) == expected          # pending markers
+    LakehouseTable.load(spark_global, marked).materialize_markers()
+    assert state(marked) == expected          # physical tombstones
