@@ -571,11 +571,21 @@ def main(argv: list[str] | None = None) -> int:
 
         t = LakehouseTable.load(spark, args.table)
         df = t.changes_between(args.from_version, args.to_version)
+        # ADVICE r5: with cascade markers pending, the feed omits
+        # cascade-deleted children (marker-mode trade-off, documented on
+        # the load side) — surface that to the CDC consumer here too,
+        # mirroring the status command.
+        n_markers = sum(
+            e.get("rows") or 0 for e in t._snap.get("markers", [])
+        )
+        extra = (
+            {"pending_cascade_markers": n_markers} if n_markers else {}
+        )
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
-            print(json.dumps({"out": args.out, "rows": df.count()}))
+            print(json.dumps({"out": args.out, "rows": df.count(), **extra}))
         else:
-            print(json.dumps({"rows": df.count()}))
+            print(json.dumps({"rows": df.count(), **extra}))
         return 0
 
     if args.cmd == "status":

@@ -84,18 +84,34 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
 
 def q_cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2+M3: LWW dedup via the engine's dedup_lww operator, tombstones
-    dropped → final visible state."""
+    dropped → final visible state.
+
+    Round-6 restructure (guide §8: decide on lightweight rows, derive
+    heavy columns once): ``tokens`` is BY CONSTRUCTION a pure function
+    of ``commit_seq`` (tokens[i] = (seq*(i+7)) % 1000, len = seq%97+8 —
+    the derivation both engines share, see module docstring), and the
+    LWW winner per doc_id is decided by commit_seq alone (o_orderkey is
+    unique, so the op-rank/hash tie-breaks are unreachable).  Running
+    dedup_lww on the narrow columns and regenerating the winner's
+    tokens afterwards therefore yields bit-identical results (oracle-
+    locked) while the shuffle carries ~50 bytes/row instead of the
+    ~500-byte token arrays and the array generation runs for ~300
+    winners instead of every event."""
     from dlt_spark.operators.dedup import dedup_lww
 
     _views(spark, sf_dir, "orders")
-    events = spark.sql(_EVENTS_SP)
+    events = spark.sql(_EVENTS_SP).drop("tokens")
     final = dedup_lww(events).where(F.col("op") != "D")
+    tokens = F.expr(
+        "transform(sequence(0, cast(commit_seq % 97 + 7 AS int)),"
+        " i -> (commit_seq * (i + 7)) % 1000)"
+    )
     return final.select(
         "doc_id",
         F.col("commit_seq").alias("last_seq"),
         F.col("n_tok").cast("bigint").alias("n_tok"),
         "source",
-        F.array_join(F.col("tokens").cast("array<string>"), ",").alias("tokens_str"),
+        F.array_join(tokens.cast("array<string>"), ",").alias("tokens_str"),
     )
 
 
@@ -481,10 +497,21 @@ def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures over 3-word shingles (4 hash families)."""
+    """MinHash signatures over 3-word shingles (4 hash families).
+
+    Round-6 restructure (guide §4.1: built-ins with codegen beat
+    interpreted paths): higher-order-function lambdas are evaluated
+    INTERPRETED per element (HOFs are CodegenFallback), so the previous
+    ``array_min(transform(shingles, s -> md5...))`` paid interpreted
+    md5+conv per shingle × 4 families.  Exploding the shingles to rows
+    evaluates the same 4 hashes under whole-stage codegen, and the
+    per-doc min becomes a fixed-width HashAggregate with map-side
+    partial aggregation — the exchange carries 4 longs per (doc,
+    partition), not the shingle strings.  Result set is identical
+    (same min over the same shingle multiset; same doc filter)."""
     _views(spark, sf_dir, "documents")
     mh_terms = ", ".join(
-        "array_min(transform(shingles, s -> {h})) AS mh{k}".format(
+        "min({h}) AS mh{k}".format(
             h=_HASH60_SP.format(x=f"concat('{k}|', s)"), k=k
         )
         for k in range(4)
@@ -492,12 +519,11 @@ def q_docs_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"""
         WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
         sh AS (
-          SELECT doc_id,
-                 transform(sequence(0, size(ws) - 3),
-                           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) AS shingles
-          FROM w WHERE size(ws) >= 3)
+          SELECT doc_id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+          FROM w LATERAL VIEW explode(sequence(0, size(ws) - 3)) t AS i
+          WHERE size(ws) >= 3)
         SELECT doc_id, {mh_terms}
-        FROM sh
+        FROM sh GROUP BY doc_id
     """)
 
 

@@ -469,6 +469,10 @@ class LakehouseTable:
             if fn.startswith("v") and fn.endswith(".json")
         )
         if limit is not None:
+            if limit < 0:  # ADVICE r5: names[-limit:] would DROP the
+                raise ValueError(  # |limit| oldest instead of newest N
+                    f"history limit must be >= 0, got {limit}"
+                )
             names = names[-limit:] if limit > 0 else []
         out = []
         for fn in names:
@@ -1327,6 +1331,15 @@ class LakehouseTable:
         # a marker delta rides the batch's atomic commit exactly like
         # data files; materialize_markers clears the accumulated list.
         markers: list | None = None
+        if prepared.get("markers_delta") and prepared.get("clear_markers"):
+            # ADVICE r5: a prepared dict carrying BOTH would have the
+            # clear branch rebuild the list from self._snap and silently
+            # drop the markers_delta addition.  No caller produces this
+            # combination; fail loudly instead of mis-merging.
+            raise ValueError(
+                "prepared dict carries both markers_delta and "
+                "clear_markers; these commit paths are mutually exclusive"
+            )
         if prepared.get("markers_delta"):
             markers = (
                 self._snap.get("markers", []) + [prepared["markers_delta"]]

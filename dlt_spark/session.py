@@ -36,17 +36,36 @@ _BASE_CONF: dict[str, str] = {
     # every core fed and shorten straggler tails).
     "spark.sql.shuffle.partitions": "128",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
-    # Scan parallelism: with the default 128 MB split size a micro-batch
-    # of a few hundred MB yields fewer map tasks than cores and the scan
-    # stage can't use the cluster (measured: local[32] == local[8]).
-    # 16 MB splits keep every core fed at bench scale; on a real cluster
-    # with TB-scale batches the default would be fine — this trades a
-    # little task overhead for utilization at the small end.
-    "spark.sql.files.maxPartitionBytes": "16m",
+    # Scan parallelism: Spark's actual split size is
+    # min(maxPartitionBytes, totalBytes / minPartitionNum) with
+    # minPartitionNum defaulting to the core count — so small scans
+    # ALWAYS split down to ~totalBytes/cores and stay parallel
+    # regardless of this cap; the cap only binds on scans larger than
+    # cores × cap.  Round-6 measurement on the 3.4 GB MoR base scan
+    # (local[32], tmpfs): 16m 1.94 s / 32m 1.77 / 64m 1.60 / 128m 2.69
+    # (128m under-fills the cores: 27 tasks < 32) — and an interleaved
+    # full-replay A/B shows 64m ≥ 16m there too (medians 14.5 vs
+    # 16.6 s).  64m is also the right direction at cluster scale
+    # (guide §6: bigger sequential splits cut task overhead and map
+    # count feeding shuffles); the earlier 16m setting predates the
+    # openCostInBytes=1m change that made the min-parallelism floor
+    # effective.
+    "spark.sql.files.maxPartitionBytes": "64m",
     "spark.sql.files.openCostInBytes": "1m",
     # Timestamps in the change log are UTC by definition
     # (reference stamps RFC3339 UTC at loader/service.go:144).
     "spark.sql.session.timeZone": "UTC",
+    # JSON expression optimization rewrites each from_json(...).field
+    # access into a SEPARATE single-field parse.  That pruning pays
+    # when a query touches one field of a wide payload; this engine's
+    # two from_json sites consume EVERY field (the 3-field exploded
+    # payload becomes 3 Jackson passes per row; the v3 normalize schema
+    # has a single field, so pruning is a no-op there) — measured on
+    # the exploded ingest pipeline: off 1.02 s vs on 1.13 s per 394k
+    # events (round 6).  Off is a strict win for this workload shape;
+    # a user adding a wide-payload single-field query can re-enable via
+    # extra_conf.
+    "spark.sql.optimizer.enableJsonExpressionOptimization": "false",
     # Shuffle/broadcast/spill codec: measured per core count — zstd wins
     # at low parallelism (bandwidth-bound: 13.8s vs lz4 15.8s at
     # local[8]) but loses badly once cores saturate (22.2s vs 15.6s at

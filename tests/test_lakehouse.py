@@ -156,6 +156,20 @@ def test_time_travel_history_and_changes(spark, tmp_path):
     h = t.history()
     assert [r["version"] for r in h] == list(range(0, v3 + 1))
     assert h[-1]["batch_id"] == 2
+    # limit selects the NEWEST N; a negative limit is an error, not a
+    # silent drop of the |N| oldest (ADVICE r5)
+    assert [r["version"] for r in t.history(limit=2)] == [v3 - 1, v3]
+    with _pt.raises(ValueError, match="history limit"):
+        t.history(limit=-1)
+    # a prepared dict carrying both marker mutations is rejected
+    # loudly instead of mis-merged (ADVICE r5)
+    with _pt.raises(ValueError, match="mutually exclusive"):
+        t.commit_delta(
+            {"files": [], "stats": None, "has_counts": False, "extras": [],
+             "markers_delta": {"files": ["x"], "rows": 1},
+             "clear_markers": ["y"]},
+            "j", 99,
+        )
 
     # incremental feed v1 -> v3 = exactly batches 1 and 2's raw rows
     ch = t.changes_between(v1, v3)
