@@ -1407,77 +1407,11 @@ class LakehouseTable:
 
         new_extras = [tuple(e) for e in extra_cols]
         if len(deltas) >= self.max_deltas:
-            # L0 → L1 fold: resolve + bucket the pending commits.  Cost
-            # O(sum of L0) = O(max_deltas batches), independent of table
-            # size.  Per-bucket row counts come from the written parquet
-            # footers (driver-side, no extra job) and keep the tiered
-            # read's metadata exact.
-            folded = self._fold_l0(deltas, extras=new_extras)
-            for b, entry in folded.items():
-                cur = l1_map.setdefault(b, {"files": [], "rows": 0})
-                cur["files"] = cur["files"] + entry["files"]
-                cur["rows"] = (
-                    None
-                    if cur["rows"] is None
-                    else cur["rows"] + entry["rows"]
-                )
+            buckets_map, l1_map, base_rows = self._fold_and_maybe_major(
+                deltas, buckets_map, l1_map, new_extras,
+                self._snap.get("base_rows"),
+            )
             deltas = []
-            # Bucket-local major compaction: rebuild base for buckets
-            # whose L1 count hits a per-bucket STAGGERED cap (b % 4
-            # jitter spreads majors over fold points instead of one
-            # global O(table) spike).  Cost O(selected buckets).
-            over = [
-                b for b, e in l1_map.items()
-                if len(e["files"]) >= self.max_deltas + (_bkey_parse(b)[1] % 4)
-            ]
-            if over:
-                # After a split_buckets() the maps hold entries at mixed
-                # moduli; a rewrite of residue class X must include every
-                # entry whose class INTERSECTS X (classes are
-                # hierarchical, so this is the connected component).
-                # Pulling in a coarser pre-split base entry rewrites it
-                # at the current modulus as a side effect — splits are
-                # realized lazily, one touched component at a time.
-                comp = set(over)
-                pool = set(buckets_map) | {
-                    k for k, e in l1_map.items() if e["files"]
-                }
-                grew = True
-                while grew:
-                    grew = False
-                    for k in pool - comp:
-                        if any(_keys_overlap(k, c) for c in comp):
-                            comp.add(k)
-                            grew = True
-                old_base = [k for k in comp if k in buckets_map]
-                old_rows = _parquet_rows(
-                    self._abs([p for b in old_base for p in buckets_map[b]])
-                )
-                compacted = self._major_compact(
-                    buckets_map, l1_map, sorted(comp), extras=new_extras
-                )
-                for b in old_base:
-                    del buckets_map[b]
-                buckets_map.update(compacted)
-                for b in comp:
-                    if b in l1_map:
-                        if _bkey_parse(b)[0] == self.n_buckets:
-                            l1_map[b] = {"files": [], "rows": 0}
-                        else:
-                            del l1_map[b]  # stale-modulus key retired
-                new_rows = _parquet_rows(
-                    self._abs([p for ps in compacted.values() for p in ps])
-                )
-                prev = self._snap.get("base_rows")
-                base_rows = (
-                    prev - old_rows + new_rows
-                    if prev is not None
-                    else _parquet_rows(
-                        self._abs([p for ps in buckets_map.values() for p in ps])
-                    )
-                )
-            else:
-                base_rows = self._snap.get("base_rows")
         else:
             base_rows = self._snap.get("base_rows")
 
@@ -1580,6 +1514,126 @@ class LakehouseTable:
             .agg(winner)
             .select("w.*")
         )
+
+    def _fold_and_maybe_major(
+        self,
+        deltas: list,
+        buckets_map: dict,
+        l1_map: dict,
+        new_extras: list,
+        base_rows: int | None,
+    ) -> tuple[dict, dict, int | None]:
+        """L0 → L1 fold + the bucket-local major-compaction check —
+        the shared tail of a fold-triggering batch commit and the
+        explicit ``fold_pending`` maintenance op.  Mutates and returns
+        (buckets_map, l1_map, base_rows); the caller owns publishing.
+
+        Fold: resolve + bucket the pending commits.  Cost O(sum of L0),
+        independent of table size.  Per-bucket row counts come from the
+        written parquet footers (driver-side, no extra job) and keep
+        the tiered read's metadata exact.
+
+        Major: rebuild base for buckets whose L1 count hits a
+        per-bucket STAGGERED cap (b % 4 jitter spreads majors over fold
+        points instead of one global O(table) spike).  Cost O(selected
+        buckets)."""
+        folded = self._fold_l0(deltas, extras=new_extras)
+        for b, entry in folded.items():
+            cur = l1_map.setdefault(b, {"files": [], "rows": 0})
+            cur["files"] = cur["files"] + entry["files"]
+            cur["rows"] = (
+                None
+                if cur["rows"] is None
+                else cur["rows"] + entry["rows"]
+            )
+        over = [
+            b for b, e in l1_map.items()
+            if len(e["files"]) >= self.max_deltas + (_bkey_parse(b)[1] % 4)
+        ]
+        if over:
+            # After a split_buckets() the maps hold entries at mixed
+            # moduli; a rewrite of residue class X must include every
+            # entry whose class INTERSECTS X (classes are
+            # hierarchical, so this is the connected component).
+            # Pulling in a coarser pre-split base entry rewrites it
+            # at the current modulus as a side effect — splits are
+            # realized lazily, one touched component at a time.
+            comp = set(over)
+            pool = set(buckets_map) | {
+                k for k, e in l1_map.items() if e["files"]
+            }
+            grew = True
+            while grew:
+                grew = False
+                for k in pool - comp:
+                    if any(_keys_overlap(k, c) for c in comp):
+                        comp.add(k)
+                        grew = True
+            old_base = [k for k in comp if k in buckets_map]
+            old_rows = _parquet_rows(
+                self._abs([p for b in old_base for p in buckets_map[b]])
+            )
+            compacted = self._major_compact(
+                buckets_map, l1_map, sorted(comp), extras=new_extras
+            )
+            for b in old_base:
+                del buckets_map[b]
+            buckets_map.update(compacted)
+            for b in comp:
+                if b in l1_map:
+                    if _bkey_parse(b)[0] == self.n_buckets:
+                        l1_map[b] = {"files": [], "rows": 0}
+                    else:
+                        del l1_map[b]  # stale-modulus key retired
+            new_rows = _parquet_rows(
+                self._abs([p for ps in compacted.values() for p in ps])
+            )
+            base_rows = (
+                base_rows - old_rows + new_rows
+                if base_rows is not None
+                else _parquet_rows(
+                    self._abs([p for ps in buckets_map.values() for p in ps])
+                )
+            )
+        return buckets_map, l1_map, base_rows
+
+    def fold_pending(self) -> int:
+        """Explicit L0 → L1 maintenance fold — exactly the fold a batch
+        commit performs when the L0 count reaches ``max_deltas``, as a
+        standalone snapshot commit (round 6, guide §2.6 overlap-
+        independent-jobs): the incremental runner fires it at the
+        half-``max_deltas`` point of a bulk run so the fold's Spark job
+        backfills cores idled by the remaining batches' prepare
+        stragglers, instead of the whole fold landing serialized at the
+        run's last commit (measured: the fold is ~3.5 s of a ~10.8 s
+        8-batch replay when paid at the end).  Includes the same
+        staggered major-compaction check as the commit-path fold, so
+        L1 growth stays bounded no matter which path folds.  Pins ONE
+        snapshot (same torn-view rule as compact()); a concurrent
+        commit surfaces as SnapshotConflict at publish — callers treat
+        the fold as opportunistic and retry or skip.  State-equivalent:
+        read() before == read() after (fold only moves rows L0 → L1).
+        Returns the number of L0 commits folded (0 = nothing pending)."""
+        snap = self._snap  # pin ONE snapshot — see _pending docstring
+        deltas = snap["deltas"]
+        if not deltas:
+            return 0
+        new_extras = [tuple(e) for e in snap.get("extra_columns", [])]
+        buckets_map = dict(snap["buckets"])
+        l1_map = {k: dict(v) for k, v in snap.get("l1", {}).items()}
+        buckets_map, l1_map, base_rows = self._fold_and_maybe_major(
+            deltas, buckets_map, l1_map, new_extras, snap.get("base_rows"),
+        )
+        new_snap = dict(
+            snap,
+            version=snap["version"] + 1,
+            buckets=buckets_map,
+            l1=l1_map,
+            deltas=[],
+            base_rows=base_rows,
+        )
+        self._publish(new_snap)
+        return len(deltas)
 
     def _fold_l0(self, deltas: list, extras: list | None = None) -> dict[str, dict]:
         """L0 → L1: resolve the pending unbucketed commits among

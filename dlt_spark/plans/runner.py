@@ -112,6 +112,10 @@ def run_incremental(
     # speed, but changes_between no longer carries cascade-deleted
     # children — only for consumers without CDC-out.
     cascade_mode: str = "eager",
+    # Early-fold threshold for bulk runs (None → max_deltas // 2): once
+    # a fold is inevitable this run, fold when L0 reaches this count so
+    # the fold overlaps the remaining prepares; see the commit loop.
+    early_fold_at: int | None = None,
 ) -> RunResult:
     """One catch-up run (the `dlt load` analog, SURVEY §3.1/§3.3).
 
@@ -580,6 +584,31 @@ def run_incremental(
         # acyclic — no deadlock at any pool size — while delete batches'
         # gap jobs overlap each other and the main pipeline instead of
         # chaining through the prepare futures.
+        # Overlapped L0→L1 folds (round 6, guide §2.6): on a bulk run
+        # the commit-path fold lands at the run's LAST commit — ~3.5 s
+        # of a ~10.8 s 8-batch replay spent serialized while the
+        # prepare pool sits idle.  Instead, once enough commits have
+        # landed that a fold is inevitable this run (d + remaining ≥
+        # max_deltas), fold at the half-max_deltas point: the fold's
+        # Spark job backfills cores behind the remaining batches'
+        # prepares (FIFO scheduling — the in-flight prepares keep
+        # priority, the fold soaks up their straggler tails), and a
+        # final fold after the last commit leaves the run fully folded
+        # (L0 empty — same end state a fold-at-max run would reach,
+        # reached cheaper).  Steady single-batch ticks never trigger
+        # this (remaining = 0), so the deployment hot path is
+        # untouched; folds are opportunistic (a SnapshotConflict from a
+        # concurrent writer skips the fold — the commit-path trigger
+        # still bounds L0 at max_deltas regardless).
+        from dlt_spark.lakehouse import SnapshotConflict
+
+        fold_at = (
+            max(1, table.max_deltas // 2)
+            if early_fold_at is None
+            else max(1, early_fold_at)
+        )
+        did_early_fold = False
+
         futs: dict = {}
         gap_futs: dict = {}
         with ThreadPoolExecutor(max_workers=max(1, max_inflight)) as pool, \
@@ -595,11 +624,25 @@ def run_incremental(
                     if stop_requested is not None and stop_requested():
                         break  # graceful: last commit is the resume point
                     _commit_one(batch_id, lo, hi, futs[batch_id].result())
+                    rem = len(work) - i - 1
+                    if rem > 0:
+                        d = len(table._snap["deltas"])
+                        if d >= fold_at and d + rem >= table.max_deltas:
+                            try:
+                                table.fold_pending()
+                                did_early_fold = True
+                            except SnapshotConflict:
+                                pass  # a rival writer folds/commits; skip
             finally:
                 for f in futs.values():
                     f.cancel()
                 for f in gap_futs.values():
                     f.cancel()
+        if did_early_fold and table._snap["deltas"]:
+            try:
+                table.fold_pending()
+            except SnapshotConflict:
+                pass
 
         wall = time.monotonic() - t0
         return RunResult(

@@ -467,3 +467,85 @@ def test_manifest_spill_version_index_prunes_files(spark, tmp_path):
         {"path": e["path"], "v_min": None, "v_max": None} for e in spill
     ]
     assert set(t.manifests_df(9_900, 10_000).inputFiles()) == all_files
+
+
+def test_fold_pending_state_equivalent_and_bounded(spark, tmp_path):
+    """Round-6 overlapped fold: fold_pending() is the commit-path
+    L0→L1 fold as a standalone maintenance commit — state before ==
+    state after, L0 empties into L1, re-fold is a no-op, and lineage
+    (watermark, manifests, applied ranges) is untouched."""
+    path = str(tmp_path / "t")
+    t = LakehouseTable.create(spark, path, n_buckets=8)
+    for b in range(4):
+        t.merge(_updates(spark, b * 500, b * 500 + 499), "job", b)
+    t = t.refresh()
+    assert len(t._snap["deltas"]) == 4
+    before = sorted(
+        tuple(r) for r in t.read().select("doc_id", "_commit_seq").collect()
+    )
+    wm, n_manifests = t.watermark(), len(t._snap["manifests"])
+
+    assert t.fold_pending() == 4
+    assert t._snap["deltas"] == []
+    assert any(e["files"] for e in t._snap["l1"].values())
+    after = sorted(
+        tuple(r) for r in t.read().select("doc_id", "_commit_seq").collect()
+    )
+    assert after == before
+    assert t.watermark() == wm
+    assert len(t._snap["manifests"]) == n_manifests
+    assert t.fold_pending() == 0  # nothing pending → no new snapshot
+
+
+def test_fold_pending_runs_major_compaction_check(spark, tmp_path):
+    """fold_pending() must include the commit-path's staggered major
+    check — a scheduler folding via fold_pending alone (no commit ever
+    reaching max_deltas) would otherwise grow L1 unboundedly."""
+    path = str(tmp_path / "t")
+    t = LakehouseTable.create(spark, path, n_buckets=2, max_deltas=2)
+    # 12 single-batch merges, folding by hand every 2 — L1 file counts
+    # cross the staggered cap (max_deltas + b%4) only via fold_pending
+    for b in range(12):
+        t.merge(_updates(spark, b * 150, b * 150 + 149), "job", b)
+        if len(t._snap["deltas"]) >= 2:
+            t.fold_pending()
+    assert t._snap["buckets"], "major compaction never ran"
+    for b, e in t._snap["l1"].items():
+        cap = t.max_deltas + (int(b.split(":")[1]) % 4)
+        assert len(e["files"]) < cap + 2
+
+
+def test_bulk_run_ends_fully_folded(spark, tmp_path):
+    """A bulk run of ≥ max_deltas batches overlaps its folds and ends
+    with L0 empty — same final table state as tick-by-tick ingest."""
+    import os
+
+    from dlt_spark.plans.runner import run_incremental
+    from dlt_spark.sources.changelog import write_change_log
+
+    log = str(tmp_path / "log")
+    n = 16_000
+    write_change_log(
+        generate_change_log(spark, n, seed=7, dup_frac=0.05), log, 2_000
+    )
+    ta = str(tmp_path / "ta")
+    run_incremental(spark, log, ta, batch_width=2_000, n_buckets=8,
+                    log_part_width=2_000)
+    t = LakehouseTable.load(spark, ta)
+    assert t._snap["deltas"] == []  # early + final folds drained L0
+
+    tb = str(tmp_path / "tb")
+    for b in range(8):
+        run_incremental(spark, log, tb, seq_from=b * 2_000,
+                        seq_to=(b + 1) * 2_000 - 1, batch_width=2_000,
+                        n_buckets=8, log_part_width=2_000)
+    t2 = LakehouseTable.load(spark, tb)
+    rows_a = sorted(
+        tuple(r)
+        for r in t.read().select("doc_id", "_commit_seq", "_row_id").collect()
+    )
+    rows_b = sorted(
+        tuple(r)
+        for r in t2.read().select("doc_id", "_commit_seq", "_row_id").collect()
+    )
+    assert rows_a == rows_b
