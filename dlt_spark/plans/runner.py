@@ -627,6 +627,11 @@ def run_incremental(
                     rem = len(work) - i - 1
                     if rem > 0:
                         d = len(table._snap["deltas"])
+                        # (a "fold the rest behind the last prepare"
+                        # tail fire was tried and measured WORSE —
+                        # 9.68 vs 9.30 s medians — the last prepare is
+                        # nearly done by then, so the extra fold just
+                        # serializes; keep the single mid-run fire)
                         if d >= fold_at and d + rem >= table.max_deltas:
                             try:
                                 table.fold_pending()
