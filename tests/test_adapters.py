@@ -729,3 +729,40 @@ def test_marker_read_plan_is_one_broadcast_join(spark, tmp_path):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 1
     assert "LeftOuter" in plan
+
+
+def test_marker_read_above_broadcast_gate_same_rows(spark, tmp_path, monkeypatch):
+    """Above MARKER_BROADCAST_ROWS the marker map drops the broadcast
+    hint and the join falls back to a shuffle strategy (VERDICT r5
+    next-#6b: the >1M-marker path).  Generating >1M real markers is a
+    multi-GB log, so force the gate to 0 instead (and the auto-
+    broadcast threshold to -1, since at test size the planner would
+    re-broadcast from size stats alone): the read must take a
+    non-broadcast join and stay row-identical, and materialize_markers
+    through the same gate must converge to the same live state."""
+    import dlt_spark.lakehouse as lh
+    from dlt_spark.lakehouse import LakehouseTable
+    from dlt_spark.plans.runner import run_incremental
+
+    log = _cascade_log(spark, tmp_path, n=1_500, seed=13)
+    tbl = str(tmp_path / "t")
+    run_incremental(spark, log, tbl, schema="exploded_cascade",
+                    batch_width=500, n_buckets=8, log_part_width=500,
+                    cascade_mode="markers")
+    assert LakehouseTable.load(spark, tbl)._snap["markers"]
+    baseline = _live_state(spark, tbl)
+
+    monkeypatch.setattr(lh, "MARKER_BROADCAST_ROWS", 0)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = LakehouseTable.load(spark, tbl)
+        plan = t.read()._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert _live_state(spark, tbl) == baseline
+        assert t.materialize_markers() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    t = LakehouseTable.load(spark, tbl)
+    assert not t._snap["markers"]
+    assert _live_state(spark, tbl) == baseline
